@@ -1,0 +1,133 @@
+"""Scene layer tests: parser, OBJ loading, transforms, BVH, lights."""
+
+import numpy as np
+import pytest
+
+from ptdn_tpu.scene import Scene
+from ptdn_tpu.scene import parser as P
+from ptdn_tpu.scene.bvh import build_bvh
+from ptdn_tpu.utils import math3d
+
+
+ALL_SCENES = ["cornell.txt", "bunny.txt", "diamond.txt", "room.txt"]
+
+
+@pytest.mark.parametrize("name", ALL_SCENES)
+def test_parse_all_shipped_scenes(scenes_dir, name):
+    s = Scene(str(scenes_dir / name))
+    assert len(s.materials) > 0
+    assert len(s.geoms) > 0
+    assert s.resolution[0] > 0 and s.resolution[1] > 0
+    # every shipped scene's OBJECT 0 is the emissive ceiling light
+    assert s.lights and s.lights[0].geom_idx == 0
+    assert s.materials[s.geoms[0].material_id].emittance > 0
+
+
+def test_cornell_structure(cornell_scene):
+    s = cornell_scene
+    assert s.resolution == (600, 600)
+    assert len(s.geoms) == 10
+    assert len(s.materials) == 9
+    # back wall is a mesh (wall_x.obj)
+    assert s.geoms[3].type == P.MESH
+    assert s.n_tris > 0
+    # material 8 is textured
+    assert s.materials[8].texid == 0
+    assert len(s.textures) == 1
+
+
+def test_transform_matches_glm_semantics():
+    # T * Rx * Ry * Rz * S, degrees (utilities.cpp:65-72)
+    m = math3d.build_transformation_matrix(
+        np.array([1.0, 2.0, 3.0]), np.array([0.0, 90.0, 0.0]), np.array([2.0, 2.0, 2.0]))
+    # unit +x scaled by 2, rotated 90 deg about y (-> -z), translated
+    p = math3d.transform_point(m, [1.0, 0.0, 0.0])
+    np.testing.assert_allclose(p, [1.0, 2.0, 3.0 - 2.0], atol=1e-5)
+    # inverse round-trips
+    q = math3d.transform_point(np.linalg.inv(m), p)
+    np.testing.assert_allclose(q, [1.0, 0.0, 0.0], atol=1e-5)
+
+
+def test_world_space_pretransform(cornell_scene):
+    s = cornell_scene
+    g = s.geoms[3]  # back wall mesh: TRANS (0,3.9,-4.8), SCALE (12,1,12)
+    tris = s.tri_v[s.tri_geom == 3]
+    assert tris.shape[0] == g.tri_end - g.tri_start
+    center = tris.reshape(-1, 3).mean(axis=0)
+    assert abs(center[2] - (-4.8)) < 1.0  # near the back wall plane
+
+
+def test_bvh_structure_and_coverage(scenes_dir):
+    s = Scene(str(scenes_dir / "bunny.txt"))
+    bvh = s.bvh
+    assert bvh.n_nodes > 1
+    leaves = bvh.prim_count > 0
+    # leaf ranges exactly tile [0, T)
+    covered = np.zeros(s.n_tris, bool)
+    for off, cnt in zip(bvh.prim_offset[leaves], bvh.prim_count[leaves]):
+        assert cnt <= 10 or cnt > 0
+        assert not covered[off:off + cnt].any()
+        covered[off:off + cnt] = True
+    assert covered.all()
+    # root bounds contain all triangles
+    np.testing.assert_array_less(
+        bvh.bounds_min[0] - 1e-4, s.tri_v.reshape(-1, 3).min(axis=0) + 1e-6)
+    np.testing.assert_array_less(
+        s.tri_v.reshape(-1, 3).max(axis=0) - 1e-6, bvh.bounds_max[0] + 1e-4)
+    # interior nodes: left child = i+1, right child valid and disjoint
+    interior = np.where(~leaves)[0]
+    for i in interior:
+        r = bvh.right_child[i]
+        assert i + 1 < bvh.n_nodes and 0 < r < bvh.n_nodes
+    # reorder permutation is a bijection
+    assert np.array_equal(np.sort(s.tri_order), np.arange(s.n_tris))
+
+
+def test_bvh_small_cases():
+    # single triangle -> single leaf node
+    bmin = np.array([[0, 0, 0]], np.float32)
+    bmax = np.array([[1, 1, 1]], np.float32)
+    bvh, order = build_bvh(bmin, bmax)
+    assert bvh.n_nodes == 1 and bvh.prim_count[0] == 1
+    assert order.tolist() == [0]
+
+    # two triangles -> root + two leaves, ordered by centroid on longest axis
+    bmin = np.array([[5, 0, 0], [0, 0, 0]], np.float32)
+    bmax = np.array([[6, 1, 1], [1, 1, 1]], np.float32)
+    bvh, order = build_bvh(bmin, bmax)
+    assert bvh.n_nodes == 3
+    assert order.tolist() == [1, 0]  # smaller x-centroid first
+
+
+def test_parser_errors(tmp_path):
+    bad = tmp_path / "bad.txt"
+    bad.write_text("MATERIAL 5\nRGB 1 1 1\n")
+    with pytest.raises(P.SceneParseError):
+        P.parse_scene(str(bad))
+    with pytest.raises(P.SceneParseError):
+        P.parse_scene(str(tmp_path / "missing.txt"))
+
+
+def test_obj_fan_triangulation(scenes_dir):
+    from ptdn_tpu.scene.objloader import load_obj
+
+    # wall_x.obj: one big n-gon face -> fan of (n-2) triangles
+    mesh = load_obj(str(scenes_dir / "Models" / "wall_x.obj"))
+    assert mesh.pos_idx.shape[0] >= 2
+    # chair.obj mixes quads and n-gons
+    chair = load_obj(str(scenes_dir / "Models" / "chair.obj"))
+    assert chair.pos_idx.shape[0] > 430  # more tris than face lines
+    assert chair.texcoords.shape[0] > 0
+
+
+def test_device_scene_upload(cornell_scene):
+    import jax
+
+    ds = cornell_scene.device()
+    leaves = jax.tree_util.tree_leaves(ds)
+    assert all(hasattr(l, "shape") for l in leaves)
+    assert ds.tri_v.shape[0] == max(cornell_scene.n_tris, 1)
+    # pytree round-trip
+    flat, treedef = jax.tree_util.tree_flatten(ds)
+    ds2 = jax.tree_util.tree_unflatten(treedef, flat)
+    assert type(ds2) is type(ds)
