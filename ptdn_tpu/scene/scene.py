@@ -240,6 +240,17 @@ class Scene:
                 x = np.zeros((1,) + x.shape[1:], dt)
             return x
 
+        def pad_mult(x, dt=F, mult=128):
+            """Pad rows to a multiple of `mult` so chunked dynamic slices
+            never clamp (TPU-aligned; padding rows are degenerate)."""
+            x = pad1(x, dt)
+            n = x.shape[0]
+            target = -(-n // mult) * mult
+            if target != n:
+                x = np.concatenate(
+                    [x, np.zeros((target - n,) + x.shape[1:], dt)], axis=0)
+            return x
+
         # texture atlas: pad to common size
         if self.textures:
             hm = max(t.shape[0] for t in self.textures)
@@ -268,11 +279,11 @@ class Scene:
             mat_ior=j(pad1([m.index_of_refraction for m in mats])),
             mat_emittance=j(pad1([m.emittance for m in mats])),
             mat_texid=j(pad1([m.texid for m in mats], np.int32)),
-            tri_v=j(pad1(self.tri_v)),
-            tri_n=j(pad1(self.tri_n)),
-            tri_uv=j(pad1(self.tri_uv)),
-            tri_geom=j(pad1(self.tri_geom, np.int32)),
-            tri_mat=j(pad1(self.tri_mat, np.int32)),
+            tri_v=j(pad_mult(self.tri_v)),
+            tri_n=j(pad_mult(self.tri_n)),
+            tri_uv=j(pad_mult(self.tri_uv)),
+            tri_geom=j(pad_mult(self.tri_geom, np.int32)),
+            tri_mat=j(pad_mult(self.tri_mat, np.int32)),
             bvh_min=j(pad1(bvh.bounds_min)),
             bvh_max=j(pad1(bvh.bounds_max)),
             bvh_count=j(pad1(bvh.prim_count, np.int32)),

@@ -7,7 +7,6 @@ without a pod (SURVEY.md §4): JAX_PLATFORMS=cpu plus
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,7 +14,19 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import pathlib
 
+import jax
 import pytest
+
+# The axon TPU plugin registers itself as the default backend regardless of
+# JAX_PLATFORMS; pin test computations to host CPU for determinism and so
+# the suite runs without TPU access. Sharding tests grab the 8 virtual CPU
+# devices explicitly.
+if os.environ.get("PTDN_TEST_TPU", "0") != "1":
+    try:
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    except RuntimeError:
+        pass
+jax.config.update("jax_default_matmul_precision", "highest")
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 SCENES = pathlib.Path("/root/reference/scenes")

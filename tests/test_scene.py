@@ -126,7 +126,9 @@ def test_device_scene_upload(cornell_scene):
     ds = cornell_scene.device()
     leaves = jax.tree_util.tree_leaves(ds)
     assert all(hasattr(l, "shape") for l in leaves)
-    assert ds.tri_v.shape[0] == max(cornell_scene.n_tris, 1)
+    # triangles are padded to a 128 multiple for aligned chunked slices
+    assert ds.tri_v.shape[0] >= cornell_scene.n_tris
+    assert ds.tri_v.shape[0] % 128 == 0
     # pytree round-trip
     flat, treedef = jax.tree_util.tree_flatten(ds)
     ds2 = jax.tree_util.tree_unflatten(treedef, flat)
