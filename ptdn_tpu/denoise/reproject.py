@@ -1,0 +1,155 @@
+"""SVGF temporal reprojection + accumulation (BackProjection rebuild).
+
+Replicates the reference kernel (reference src/denoise.cu:185-317) as one
+fused image-space function over (H, W, ...) arrays:
+
+* world position -> previous-frame view space via the stored previous
+  view matrix; NDC WITHOUT the tan(fov/2) term — the reference comments
+  it out (denoise.cu:202-203) and we replicate;
+* 2x2 bilinear tap with per-tap validity (in-bounds + same geomId +
+  normal distance <= 0.1, denoise.cu:172-182), requiring ALL four taps
+  valid, else a 3x3 uniform-average fallback search (denoise.cu:262-286);
+* EWMA with alpha = max(1/(N+1), alpha_min); NOTE the reference applies
+  color_alpha to the CURRENT color but moment_alpha to the PREVIOUS
+  moments (denoise.cu:297-301) — replicated;
+* variance = max(0, m2 - m1^2); total rejection writes history=1,
+  variance=100 (denoise.cu:311-315).
+
+All gathers have static 2x2/3x3 neighborhoods around a dynamic base —
+they lower to XLA gathers over the (H, W) grid and fuse cleanly.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+LUM = jnp.asarray([0.2126, 0.7152, 0.0722], jnp.float32)
+
+
+def luminance(c):
+    return c @ LUM
+
+
+def _gather2d(img, yy, xx):
+    """img[(yy, xx)] with clamped indices (validity handled by masks)."""
+    h, w = img.shape[0], img.shape[1]
+    yy = jnp.clip(yy, 0, h - 1)
+    xx = jnp.clip(xx, 0, w - 1)
+    return img[yy, xx]
+
+
+def _reproj_valid(res, prev_x, prev_y, curr_geom, curr_normal,
+                  prev_geom_img, prev_normal_img):
+    """isReprjValid (denoise.cu:172-182) for integer prev coords."""
+    w, h = res
+    inb = (prev_x >= 0) & (prev_x < w) & (prev_y >= 0) & (prev_y < h)
+    pg = _gather2d(prev_geom_img, prev_y, prev_x)
+    pn = _gather2d(prev_normal_img, prev_y, prev_x)
+    same_geom = (pg != -1) & (pg == curr_geom)
+    nd = jnp.linalg.norm(pn - curr_normal, axis=-1)
+    return inb & same_geom & (nd <= 0.1)
+
+
+def back_projection(res, current_color, curr_gb, prev_gb, prev_viewmat,
+                    color_history, moment_history, history_length,
+                    color_alpha_min, moment_alpha_min):
+    """Returns (variance, color_acc, moment_acc, history_update)."""
+    w, h = res
+    pos = curr_gb["position"]                       # (H, W, 3)
+    curr_geom = curr_gb["geom_id"]                  # (H, W) i32
+    curr_normal = curr_gb["normal"]
+
+    n_hist = history_length.astype(jnp.float32)     # N (pre-update)
+    lum = luminance(current_color)
+
+    # ---- previous-frame pixel coordinates (denoise.cu:200-207) ----
+    vs = pos @ prev_viewmat[:3, :3].T + prev_viewmat[:3, 3]
+    clipx = vs[..., 0] / vs[..., 2]
+    clipy = vs[..., 1] / vs[..., 2]
+    prevx = (-clipx * 0.5 + 0.5) * w - 0.5
+    prevy = (-clipy * 0.5 + 0.5) * h - 0.5
+
+    floorx = jnp.floor(prevx)
+    floory = jnp.floor(prevy)
+    fracx = prevx - floorx
+    fracy = prevy - floory
+    fx = floorx.astype(jnp.int32)
+    fy = floory.astype(jnp.int32)
+
+    base_valid = (floorx >= 0) & (floory >= 0) & (floorx < w) & (floory < h)
+
+    prev_geom_img = prev_gb["geom_id"]
+    prev_normal_img = prev_gb["normal"]
+
+    # ---- 2x2 bilinear tap, all four must be valid (denoise.cu:219-259) ----
+    taps = [(0, 0), (1, 0), (0, 1), (1, 1)]
+    weights = [(1 - fracx) * (1 - fracy), fracx * (1 - fracy),
+               (1 - fracx) * fracy, fracx * fracy]
+    all_valid = base_valid
+    tap_valid = []
+    for dx, dy in taps:
+        v = _reproj_valid(res, fx + dx, fy + dy, curr_geom, curr_normal,
+                          prev_geom_img, prev_normal_img)
+        tap_valid.append(v)
+        all_valid = all_valid & v
+
+    pc = jnp.zeros_like(current_color)
+    pm = jnp.zeros(current_color.shape[:2] + (2,))
+    ph = jnp.zeros(current_color.shape[:2])
+    sumw = jnp.zeros(current_color.shape[:2])
+    for (dx, dy), wgt, v in zip(taps, weights, tap_valid):
+        m = (all_valid & v)
+        mw = jnp.where(m, wgt, 0.0)
+        pc = pc + mw[..., None] * _gather2d(color_history, fy + dy, fx + dx)
+        pm = pm + mw[..., None] * _gather2d(moment_history, fy + dy, fx + dx)
+        ph = ph + mw * _gather2d(history_length.astype(jnp.float32),
+                                 fy + dy, fx + dx)
+        sumw = sumw + mw
+    bilinear_ok = all_valid & (sumw >= 0.01)
+    safe = jnp.maximum(sumw, 1e-20)
+    pc_b = pc / safe[..., None]
+    pm_b = pm / safe[..., None]
+    ph_b = ph / safe
+
+    # ---- 3x3 uniform fallback (denoise.cu:262-286) ----
+    fc = jnp.zeros_like(current_color)
+    fm = jnp.zeros(current_color.shape[:2] + (2,))
+    fh = jnp.zeros(current_color.shape[:2])
+    cnt = jnp.zeros(current_color.shape[:2])
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            v = _reproj_valid(res, fx + dx, fy + dy, curr_geom, curr_normal,
+                              prev_geom_img, prev_normal_img)
+            mv = jnp.where(v, 1.0, 0.0)
+            fc = fc + mv[..., None] * _gather2d(color_history, fy + dy, fx + dx)
+            fm = fm + mv[..., None] * _gather2d(moment_history, fy + dy, fx + dx)
+            fh = fh + mv * _gather2d(history_length.astype(jnp.float32),
+                                     fy + dy, fx + dx)
+            cnt = cnt + mv
+    fallback_ok = ~bilinear_ok & (cnt > 0)
+    safe_cnt = jnp.maximum(cnt, 1e-20)
+    pc = jnp.where(bilinear_ok[..., None], pc_b, fc / safe_cnt[..., None])
+    pm = jnp.where(bilinear_ok[..., None], pm_b, fm / safe_cnt[..., None])
+    ph = jnp.where(bilinear_ok, ph_b, fh / safe_cnt)
+
+    valid = (bilinear_ok | fallback_ok) & (history_length > 0) & (curr_geom != -1)
+
+    # ---- EWMA accumulation (denoise.cu:288-307) ----
+    color_alpha = jnp.maximum(1.0 / (n_hist + 1.0), color_alpha_min)
+    moment_alpha = jnp.maximum(1.0 / (n_hist + 1.0), moment_alpha_min)
+    acc_color = (current_color * color_alpha[..., None]
+                 + pc * (1.0 - color_alpha)[..., None])
+    m1 = moment_alpha * pm[..., 0] + (1.0 - moment_alpha) * lum
+    m2 = moment_alpha * pm[..., 1] + (1.0 - moment_alpha) * lum * lum
+    acc_moment = jnp.stack([m1, m2], axis=-1)
+    var = jnp.maximum(m2 - m1 * m1, 0.0)
+    hist_up = ph.astype(jnp.int32) + 1
+
+    # ---- total rejection (denoise.cu:311-315) ----
+    v3 = valid[..., None]
+    color_acc = jnp.where(v3, acc_color, current_color)
+    moment_acc = jnp.where(valid[..., None], acc_moment,
+                           jnp.stack([lum, lum * lum], axis=-1))
+    variance = jnp.where(valid, var, 100.0)
+    history_update = jnp.where(valid, hist_up, 1)
+    return variance, color_acc, moment_acc, history_update

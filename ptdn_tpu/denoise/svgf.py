@@ -1,0 +1,104 @@
+"""SVGF orchestration: the reference's denoise() host routine as one
+functional jit-traceable step over a carried state pytree.
+
+Mirrors src/denoise.cu:349-402:
+* temporal on  -> BackProjection, then color history <- accumulated color;
+* temporal off -> EstimateVariance STUB writing 10.0 (denoise.cu:320-329,
+  replicated) and color history <- raw input;
+* debug views (history/100, variance/0.1) bypass filtering;
+* else à-trous levels 1..nlevel ping-pong, feeding level
+  `history_level`'s output back into the color history (SVGF's
+  first-iteration-feeds-history trick, denoise.cu:386-392);
+* end of frame: previous G-buffer / moments / history length / view
+  matrix saved — here that's just returning the new state pytree
+  (the reference's cudaMemcpy D2D copies become functional threading).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+
+from ptdn_tpu.denoise.atrous import atrous_level
+from ptdn_tpu.denoise.reproject import back_projection, luminance
+
+
+def init_denoise_state(resolution) -> Dict[str, jnp.ndarray]:
+    """denoiseInit equivalents (denoise.cu:31-61), zero-initialized."""
+    w, h = resolution
+    f = jnp.float32
+    return {
+        "color_history": jnp.zeros((h, w, 3), f),
+        "moment_history": jnp.zeros((h, w, 2), f),
+        "history_length": jnp.zeros((h, w), jnp.int32),
+        "prev_position": jnp.zeros((h, w, 3), f),
+        "prev_normal": jnp.zeros((h, w, 3), f),
+        "prev_geom_id": jnp.full((h, w), -1, jnp.int32),
+        "prev_view": jnp.eye(4, dtype=f),
+    }
+
+
+def make_denoise_fn(cfg, resolution):
+    """Build denoise(state, raw_color, gbuffer, view_mat, params)
+    -> (output, new_state). Static structure from cfg; sigmas/alphas traced."""
+    w, h = resolution
+
+    def denoise(state, raw_color, gbuffer, view_mat, params
+                ) -> Tuple[jnp.ndarray, Dict]:
+        prev_gb = {
+            "position": state["prev_position"],
+            "normal": state["prev_normal"],
+            "geom_id": state["prev_geom_id"],
+        }
+        # temporal off forces alpha = 1.0 (denoise.cu:360-361)
+        if cfg.temporal_enable:
+            variance, color_acc, moment_acc, hist_up = back_projection(
+                (w, h), raw_color, gbuffer, prev_gb, state["prev_view"],
+                state["color_history"], state["moment_history"],
+                state["history_length"],
+                params["color_alpha"], params["moment_alpha"])
+            color_history = color_acc
+        else:
+            # EstimateVariance stub = 10.0 (denoise.cu:320-329)
+            variance = jnp.full((h, w), 10.0, jnp.float32)
+            color_history = raw_color
+            moment_acc = state["moment_history"]
+            hist_up = state["history_length"]
+
+        if cfg.right_view_option == 1:
+            output = jnp.broadcast_to(
+                (hist_up.astype(jnp.float32) / 100.0)[..., None], (h, w, 3))
+        elif cfg.right_view_option == 2:
+            output = jnp.broadcast_to((variance / 0.1)[..., None], (h, w, 3))
+        elif cfg.atrous_nlevel == 0 or not cfg.spatial_enable:
+            output = color_history
+        else:
+            src = color_history
+            var = variance
+            output = src
+            for level in range(1, cfg.atrous_nlevel + 1):
+                dst, var = atrous_level(
+                    src, var, gbuffer, level,
+                    is_last=(level == cfg.atrous_nlevel),
+                    sigma_l=params["sigma_l"], sigma_n=params["sigma_n"],
+                    sigma_x=params["sigma_x"],
+                    blur_variance=cfg.blur_variance,
+                    add_color=(cfg.sep_color and cfg.add_color))
+                if level == cfg.history_level:
+                    color_history = dst
+                src = dst
+            output = src
+
+        new_state = {
+            "color_history": color_history,
+            "moment_history": moment_acc,
+            "history_length": hist_up,
+            "prev_position": gbuffer["position"],
+            "prev_normal": gbuffer["normal"],
+            "prev_geom_id": gbuffer["geom_id"],
+            "prev_view": view_mat,
+        }
+        return output, new_state
+
+    return denoise

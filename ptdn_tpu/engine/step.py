@@ -1,0 +1,70 @@
+"""The jitted frame step: trace + denoise + accumulate, state-threaded.
+
+This is the TPU-native equivalent of the reference per-frame host path
+(runCuda -> pathtrace -> denoise, main.cpp:154-209 / pathtrace.cu:404-452):
+one `jax.jit`-compiled function
+
+    step(state, ds, cam, view_mat, params, frame) -> (state', left, right)
+
+with the whole mutable CUDA-side state (accumulation image + SVGF
+temporal buffers) carried as a donated pytree, so every frame runs
+entirely HBM-resident with zero host round-trips. `left` is the raw
+1-spp/accumulated image (dev_image) and `right` the denoised output
+(dev_denoised_image), matching the side-by-side display contract
+(sendTwoImagesToPBO, pathtrace.cu:46-78).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+
+from ptdn_tpu.denoise.svgf import init_denoise_state, make_denoise_fn
+from ptdn_tpu.engine.wavefront import make_trace_fn
+
+
+def init_frame_state(resolution) -> Dict[str, jnp.ndarray]:
+    w, h = resolution
+    state = {"accum_image": jnp.zeros((h, w, 3), jnp.float32)}
+    state.update(init_denoise_state(resolution))
+    return state
+
+
+def make_frame_step(scene, cfg, resolution=None):
+    res = tuple(resolution or scene.resolution)
+    w, h = res
+    trace = make_trace_fn(scene, cfg, res)
+    denoise = make_denoise_fn(cfg, res)
+
+    def step(state, ds, cam, view_mat, params, frame
+             ) -> Tuple[Dict, jnp.ndarray, jnp.ndarray]:
+        radiance_flat, gb = trace(ds, cam, params, frame)
+        radiance = radiance_flat.reshape(h, w, 3)
+        gbuffer = {
+            "position": gb["position"].reshape(h, w, 3),
+            "normal": gb["normal"].reshape(h, w, 3),
+            "albedo": gb["albedo"].reshape(h, w, 3),
+            "ialbedo": gb["ialbedo"].reshape(h, w, 3),
+            "geom_id": gb["geom_id"].reshape(h, w),
+        }
+
+        if cfg.denoise_enable:
+            # left = raw 1 spp (pathtrace.cu:395-396)
+            left = radiance
+            right, dstate = denoise(state, radiance, gbuffer, view_mat, params)
+            new_state = dict(dstate)
+            new_state["accum_image"] = radiance
+        else:
+            # running mean over frames (pathtrace.cu:398)
+            f = frame.astype(jnp.float32)
+            accum = (state["accum_image"] * (f / (f + 1.0))
+                     + radiance / (f + 1.0))
+            left = accum
+            right = accum       # denoise-bypass copy (pathtrace.cu:440)
+            new_state = {k: v for k, v in state.items()}
+            new_state["accum_image"] = accum
+
+        return new_state, left, right
+
+    return step

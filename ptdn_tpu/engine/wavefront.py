@@ -1,0 +1,240 @@
+"""Wavefront path tracer: the reference's `rt` megakernel, re-designed
+for TPU as a masked flat ray batch stepped through the bounce loop.
+
+The CUDA reference runs one divergent thread per pixel through the whole
+path (reference src/pathtrace.cu:300-401). On TPU that becomes:
+
+* a flat SoA ray batch of N = W*H lanes (origins, directions, throughput,
+  radiance, flags) — every op below is dense VPU math over (N, ...);
+* the bounce loop is a host-unrolled static loop over depth 1..max_depth
+  (depth <= 10); dead lanes are masked, not compacted (XLA static shapes);
+* per-lane LCG seeds re-derived each depth from (pixel, frame+depth) via
+  the TEA hash, exactly like initRand (pathtrace.cu:328) — so the variate
+  streams match the CUDA build bit-for-bit;
+* closest-hit dispatch (computeIntersection, pathtrace.cu:210-281)
+  becomes a statically unrolled loop over the handful of analytic geoms
+  plus ONE global mesh query (the reference traverses the same global BVH
+  once per mesh geom and filters by triangle range — attributing the
+  global closest mesh hit to its owning geom is equivalent);
+* the G-buffer is a pytree of (N, ...) arrays with the reference layout
+  (position/normal/albedo/ialbedo/geomId, sceneStructs.h:113-119).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from ptdn_tpu.ops import bsdf
+from ptdn_tpu.ops.bvh_traverse import (mesh_brute_force, mesh_bvh_batched,
+                                       mesh_closest_hit_attrs)
+from ptdn_tpu.ops.intersect import FLT_MAX, box_intersect, sphere_intersect
+from ptdn_tpu.ops.rng import init_rand
+from ptdn_tpu.scene.parser import CUBE, MESH, SPHERE
+
+COLORDIVIDOR = jnp.float32(0.003921568627)   # utilities.h:24
+BRUTE_FORCE_MAX_TRIS = 2048
+
+
+def sample_texture(ds, texid, uv):
+    """Nearest-neighbor texel fetch with V flip (Texture::getColor,
+    sceneStructs.h:208-221). texid must be pre-clamped >= 0."""
+    wh = ds.tex_wh[texid]
+    w = wh[..., 0].astype(jnp.float32)
+    h = wh[..., 1].astype(jnp.float32)
+    x = jnp.minimum(w * uv[..., 0], w - 1.0).astype(jnp.int32)
+    y = jnp.minimum(h * (1.0 - uv[..., 1]), h - 1.0).astype(jnp.int32)
+    x = jnp.clip(x, 0, ds.tex_atlas.shape[2] - 1)
+    y = jnp.clip(y, 0, ds.tex_atlas.shape[1] - 1)
+    return ds.tex_atlas[texid, y, x] * COLORDIVIDOR
+
+
+def albedo_of(ds, mat_id, uv):
+    """Material color or texture sample (pathtrace.cu:320-322, 343-354)."""
+    texid = ds.mat_texid[mat_id]
+    base = ds.mat_color[mat_id]
+    tex = sample_texture(ds, jnp.maximum(texid, 0), uv)
+    return jnp.where((texid >= 0)[..., None], tex, base)
+
+
+def _mesh_mode(scene, cfg) -> str:
+    if scene.n_tris == 0:
+        return "none"
+    if cfg.mesh_mode == "brute":
+        return "brute"
+    if cfg.mesh_mode == "bvh" or not cfg.use_bvh:
+        return "bvh" if cfg.use_bvh else "brute"
+    return "brute" if scene.n_tris <= BRUTE_FORCE_MAX_TRIS else "bvh"
+
+
+def make_intersector(scene, cfg):
+    """Build the scene-specialized closest-hit function.
+
+    Returns intersect(ds, o, d) -> dict(t, point-less; normal, uv, mat_id,
+    geom_id, hit). Geom order and strict-< updates reproduce
+    computeIntersection's first-wins tie-breaking (pathtrace.cu:230-265).
+    """
+    geom_types = scene.geom_types
+    geom_mats = scene.geom_material_ids
+    mode = _mesh_mode(scene, cfg)
+    n_tris = scene.n_tris
+    max_prims = max(int(scene.bvh.prim_count.max()), 1) if n_tris else 1
+    has_mesh = any(t == MESH for t in geom_types)
+
+    def intersect(ds, o, d) -> Dict[str, jnp.ndarray]:
+        n = o.shape[0]
+        best_t = jnp.full(n, FLT_MAX)
+        best_geom = jnp.full(n, -1, jnp.int32)
+        best_normal = jnp.zeros((n, 3))
+        best_uv = jnp.zeros((n, 2))
+
+        if has_mesh and mode != "none":
+            if mode == "brute":
+                mt, mu, mv, mi, mh = mesh_brute_force(ds, o, d, n_tris)
+            else:
+                mt, mu, mv, mi, mh = mesh_bvh_batched(ds, o, d,
+                                                      max_prims=max_prims)
+            m_normal, m_uv, m_geom, _ = mesh_closest_hit_attrs(
+                ds, o, d, mt, mu, mv, mi, mh, compat=cfg.compat)
+
+        for gi, gtype in enumerate(geom_types):
+            if gtype == CUBE:
+                t, _, nrm, _, _ = box_intersect(
+                    ds.geom_transform[gi], ds.geom_inverse[gi], o, d)
+                uv = None
+            elif gtype == SPHERE:
+                t, _, nrm, _, _ = sphere_intersect(
+                    ds.geom_transform[gi], ds.geom_inverse[gi],
+                    ds.geom_inv_transpose[gi], o, d)
+                uv = None
+            else:  # MESH: global closest hit, owned-geom filter
+                t = jnp.where(m_geom == gi, mt, -1.0)
+                nrm = m_normal
+                uv = m_uv
+            better = (t > 0.0) & (t < best_t)
+            best_t = jnp.where(better, t, best_t)
+            best_geom = jnp.where(better, gi, best_geom)
+            best_normal = jnp.where(better[..., None], nrm, best_normal)
+            if uv is not None:
+                best_uv = jnp.where(better[..., None], uv, best_uv)
+
+        hit = best_geom >= 0
+        # static geom->material table baked into the program
+        mat_table = jnp.asarray(np.asarray(geom_mats, np.int32))
+        mat_id = jnp.where(hit, mat_table[jnp.maximum(best_geom, 0)], 0)
+        return {
+            "t": jnp.where(hit, best_t, -1.0),
+            "normal": best_normal,
+            "uv": best_uv,
+            "mat_id": mat_id,
+            "geom_id": best_geom,
+            "hit": hit,
+        }
+
+    return intersect
+
+
+def make_trace_fn(scene, cfg, resolution):
+    """Build trace(ds, cam, params, frame_u32) -> (radiance (N,3), gbuffer).
+
+    `radiance` is the raw 1-spp estimate (accumulation-over-frames happens
+    in the frame step, pathtrace.cu:395-399). The static config baked in:
+    trace_depth, shadow_ray, reduce_var, sep_color x denoise, mesh mode.
+    """
+    from ptdn_tpu.ops.camera import generate_camera_rays
+
+    intersect = make_intersector(scene, cfg)
+    w, h = resolution
+    n = w * h
+    light_geom = 0   # reference hardcodes geoms[0] (pathtrace.cu:360-361)
+
+    def trace(ds, cam, params, frame):
+        origin, direction = generate_camera_rays(cam, (w, h))
+        throughput = jnp.ones((n, 3))
+        radiance = jnp.zeros((n, 3))
+        diffuse_flag = jnp.zeros(n, bool)
+        lane = jnp.arange(n, dtype=jnp.uint32)
+
+        isect = intersect(ds, origin, direction)
+
+        # ---- G-buffer from the primary hit (pathtrace.cu:314-323) ----
+        gb_position = origin + isect["t"][..., None] * direction
+        gb_normal = isect["normal"]
+        gb_geom = isect["geom_id"]
+        gb_albedo = albedo_of(ds, isect["mat_id"], isect["uv"])
+        gb_ialbedo = jnp.ones((n, 3))
+
+        active = isect["hit"]
+        for depth in range(1, cfg.trace_depth + 1):
+            seed = init_rand(lane, jnp.uint32(frame) + jnp.uint32(depth))
+            mat = isect["mat_id"]
+            emitt = ds.mat_emittance[mat]
+            emissive = emitt > 0.0
+
+            # emissive hit terminates; skipped for NEE'd diffuse paths
+            # (pathtrace.cu:331-336)
+            add_emit = active & emissive
+            if cfg.shadow_ray and cfg.reduce_var:
+                add_emit = add_emit & ~diffuse_flag
+            radiance = radiance + jnp.where(
+                add_emit[..., None],
+                throughput * ds.mat_color[mat] * emitt[..., None], 0.0)
+            active = active & ~emissive
+
+            ipos = origin + isect["t"][..., None] * direction
+            inormal = isect["normal"]
+            m_refl = ds.mat_reflective[mat]
+            m_refr = ds.mat_refractive[mat]
+            mat_is_diffuse = (m_refl < 1e-6) & (m_refr < 1e-6)
+
+            # throughput *= albedo; sepcolor skips the first-hit albedo so
+            # SVGF can remodulate it after filtering (pathtrace.cu:343-355;
+            # the reference's glm::clamp there discards its result — no-op)
+            alb = albedo_of(ds, mat, isect["uv"])
+            apply_alb = active
+            if cfg.sep_color and cfg.denoise_enable and depth == 1:
+                apply_alb = jnp.zeros_like(active)
+            throughput = jnp.where(apply_alb[..., None], throughput * alb,
+                                   throughput)
+
+            # ---- NEE shadow ray to geom 0 (pathtrace.cu:357-385) ----
+            if cfg.shadow_ray:
+                nee = active & mat_is_diffuse
+                s_origin = ipos + 1e-4 * inormal
+                seed, s_dir, s_dist = bsdf.sample_shadow_ray(
+                    seed, s_origin, ds.geom_translation[light_geom],
+                    params["light_radius"], nee)
+                sh = intersect(ds, s_origin, s_dir)
+                sh_emit = ds.mat_emittance[sh["mat_id"]]
+                lit = nee & (sh["geom_id"] == light_geom) & (sh_emit > 0.0)
+                lambert = jnp.maximum(0.0, jnp.sum(s_dir * inormal, axis=-1))
+                intensity = params["shadow_intensity"] / (s_dist * s_dist)
+                contrib = (throughput * sh_emit[..., None]
+                           * ds.mat_color[sh["mat_id"]]
+                           * (intensity * lambert)[..., None])
+                radiance = radiance + jnp.where(lit[..., None], contrib, 0.0)
+
+            # ---- scatter + next intersection (pathtrace.cu:388-392) ----
+            if depth < cfg.trace_depth:
+                seed, origin, direction, throughput, became_diffuse, _ = (
+                    bsdf.scatter_ray(seed, direction, throughput, ipos,
+                                     inormal, m_refl, m_refr,
+                                     ds.mat_ior[mat], ds.mat_spec_color[mat],
+                                     active))
+                diffuse_flag = diffuse_flag | became_diffuse
+                nxt = intersect(ds, origin, direction)
+                active = active & nxt["hit"]
+                isect = nxt
+
+        gbuffer = {
+            "position": gb_position,
+            "normal": gb_normal,
+            "albedo": gb_albedo,
+            "ialbedo": gb_ialbedo,
+            "geom_id": gb_geom,
+        }
+        return radiance, gbuffer
+
+    return trace
