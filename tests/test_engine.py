@@ -1,0 +1,157 @@
+"""Engine integration tests: trace correctness invariants, accumulation
+semantics, determinism, config behavior. Small resolutions keep the CPU
+suite fast."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ptdn_tpu.engine import Renderer
+from ptdn_tpu.engine.wavefront import make_intersector, sample_texture
+from ptdn_tpu.scene import Scene
+from ptdn_tpu.utils.config import RenderConfig
+
+RES = (96, 96)
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    return Scene("/root/reference/scenes/cornell.txt")
+
+
+def test_primary_intersection_gbuffer(cornell):
+    cfg = RenderConfig()
+    r = Renderer(cornell, cfg, resolution=RES)
+    from ptdn_tpu.engine.wavefront import make_trace_fn
+
+    trace = make_trace_fn(cornell, cfg, RES)
+    cam = r.camera.frame().as_pytree()
+    radiance, gb = trace(r.ds, cam, r._params, jnp.uint32(0))
+    geom = np.asarray(gb["geom_id"]).reshape(RES[1], RES[0])
+    # central pixel sees the back wall (mesh, geom 3) or nearby objects
+    assert geom[RES[1] // 2, RES[0] // 2] >= 0
+    # the ceiling light (geom 0) is visible near the image top center
+    assert (geom == 0).sum() > 0
+    # most pixels hit something
+    assert (geom >= 0).mean() > 0.7
+    n = np.asarray(gb["normal"]).reshape(RES[1], RES[0], 3)
+    hit = geom >= 0
+    norms = np.linalg.norm(n[hit], axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+
+def test_light_pixels_emit(cornell):
+    cfg = RenderConfig(denoise_enable=False)
+    r = Renderer(cornell, cfg, resolution=RES)
+    left, right = r.render(1)
+    # emittance 5 -> light pixels are the brightest (value 5)
+    assert left.max() == pytest.approx(5.0, rel=1e-5)
+    assert left.mean() > 0.01
+    assert not np.isnan(left).any()
+
+
+def test_accumulation_running_mean(cornell):
+    cfg = RenderConfig(denoise_enable=False)
+    r = Renderer(cornell, cfg, resolution=RES)
+    frames = []
+    for _ in range(3):
+        left, _ = r.render_frame()
+        frames.append(np.asarray(left))
+    # variance decreases with accumulation: frame-to-frame delta shrinks
+    d01 = np.abs(frames[1] - frames[0]).mean()
+    d12 = np.abs(frames[2] - frames[1]).mean()
+    assert d12 < d01
+
+
+def test_determinism_same_frame(cornell):
+    cfg = RenderConfig(denoise_enable=False)
+    r1 = Renderer(cornell, cfg, resolution=RES)
+    r2 = Renderer(cornell, cfg, resolution=RES)
+    a, _ = r1.render(2)
+    b, _ = r2.render(2)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_camera_change_resets_accumulation(cornell):
+    cfg = RenderConfig(denoise_enable=False)
+    r = Renderer(cornell, cfg, resolution=RES)
+    r.render(2)
+    assert r.frame == 2
+    r.orbit(dphi=0.3)
+    r.render_frame()
+    assert r.frame == 1  # reset happened
+
+
+def test_denoise_does_not_reset_on_camera_change(cornell):
+    cfg = RenderConfig(denoise_enable=True, temporal_enable=True,
+                       spatial_enable=True)
+    r = Renderer(cornell, cfg, resolution=RES)
+    r.render(2)
+    r.orbit(dphi=0.05)
+    r.render_frame()
+    assert r.frame == 3  # temporal history survives (main.cpp:172)
+
+
+def test_denoised_output_smoother(cornell):
+    cfg = RenderConfig(denoise_enable=True, temporal_enable=True,
+                       spatial_enable=True)
+    r = Renderer(cornell, cfg, resolution=RES)
+    left = right = None
+    for _ in range(4):
+        left, right = r.render_frame()
+    left, right = np.asarray(left), np.asarray(right)
+
+    def tv(img):  # total variation as noise proxy
+        return (np.abs(np.diff(img, axis=0)).mean()
+                + np.abs(np.diff(img, axis=1)).mean())
+
+    # SVGF preserves real edges, so TV cannot go to zero; but it must
+    # clearly beat the raw 1-spp image
+    assert not np.isnan(right).any()
+    assert tv(right) < 0.7 * tv(left)
+
+
+def test_texture_sampling(cornell):
+    ds = cornell.device()
+    uv = jnp.asarray([[0.5, 0.5], [0.0, 1.0]], jnp.float32)
+    texid = jnp.asarray([0, 0], jnp.int32)
+    c = np.asarray(sample_texture(ds, texid, uv))
+    assert c.shape == (2, 3)
+    assert (c >= 0).all() and (c <= 1).all()
+    # uv (0,1): V flip puts it at row 0, col 0
+    w, h = int(ds.tex_wh[0, 0]), int(ds.tex_wh[0, 1])
+    expect = np.asarray(ds.tex_atlas[0, 0, 0]) * 0.003921568627
+    np.testing.assert_allclose(c[1], expect, atol=1e-6)
+
+
+def test_intersector_tie_break_first_geom(cornell):
+    """Strict-< update: earlier geom index wins exact ties."""
+    cfg = RenderConfig()
+    intersect = make_intersector(cornell, cfg)
+    ds = cornell.device()
+    # ray straight down onto a clear patch of floor (geom 1, thin cube y=0)
+    o = jnp.asarray([[4.5, 5.0, 4.5]], jnp.float32)
+    d = jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32)
+    out = intersect(ds, o, d)
+    assert int(out["geom_id"][0]) == 1
+    assert float(out["t"][0]) == pytest.approx(4.995, abs=1e-2)
+
+
+def test_miss_semantics(cornell):
+    cfg = RenderConfig()
+    intersect = make_intersector(cornell, cfg)
+    ds = cornell.device()
+    o = jnp.asarray([[0.0, 5.0, 30.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)  # away from the scene
+    out = intersect(ds, o, d)
+    assert int(out["geom_id"][0]) == -1
+    assert float(out["t"][0]) == -1.0
+
+
+def test_refractive_scene_runs():
+    s = Scene("/root/reference/scenes/diamond.txt")
+    r = Renderer(s, RenderConfig(denoise_enable=False), resolution=(64, 64))
+    left, _ = r.render(2)
+    assert not np.isnan(left).any()
+    assert left.max() > 0
