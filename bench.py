@@ -1,0 +1,104 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.json): cornell.txt 800x800, 1 spp, 8 bounces, static
+camera, 5-iteration à-trous SVGF, on one TPU chip. vs_baseline is
+ms_per_frame / 16.0 (the driver-set north-star budget): < 1.0 beats it.
+
+Extra configs (diamond/bunny/room/room-1080p-animated) run with
+--all and are written to bench_results.json; the single stdout JSON line
+stays the headline metric.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+TARGET_MS = 16.0
+
+
+def run_config(scene_path, resolution, frames, warmup, cfg, automate=False):
+    import jax
+
+    from ptdn_tpu.app.automate import CameraAutomation
+    from ptdn_tpu.engine import Renderer
+    from ptdn_tpu.scene import Scene
+
+    scene = Scene(scene_path)
+    r = Renderer(scene, cfg, resolution=resolution)
+    auto = CameraAutomation(cfg)
+
+    for _ in range(warmup):
+        if auto.step(r.camera):
+            r.cam_changed = True
+        left, right = r.render_frame()
+    jax.block_until_ready(right)
+
+    t0 = time.time()
+    for _ in range(frames):
+        if auto.step(r.camera):
+            r.cam_changed = True
+        left, right = r.render_frame()
+    jax.block_until_ready(right)
+    dt = (time.time() - t0) / frames
+    return dt * 1000.0, np.asarray(right)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=30)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--all", action="store_true",
+                    help="also run the non-headline BASELINE.json configs")
+    ap.add_argument("--scenes-dir", default="/root/reference/scenes")
+    args = ap.parse_args()
+
+    from ptdn_tpu.utils.config import RenderConfig
+
+    svgf = dict(denoise_enable=True, temporal_enable=True,
+                spatial_enable=True, atrous_nlevel=5)
+
+    # headline: cornell 800x800 1spp 8 bounces + 5-iter SVGF
+    cfg = RenderConfig(trace_depth=8, **svgf)
+    ms, _ = run_config(f"{args.scenes_dir}/cornell.txt", (800, 800),
+                       args.frames, args.warmup, cfg)
+
+    result = {
+        "metric": "ms/frame (cornell 800x800, 1spp, depth 8, SVGF 5-level)",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(ms / TARGET_MS, 4),
+    }
+
+    if args.all:
+        extras = {}
+        for name, res, auto in [
+            ("diamond", None, False),
+            ("bunny", None, False),
+            ("room", None, False),
+        ]:
+            c = RenderConfig(trace_depth=8, **svgf)
+            m, _ = run_config(f"{args.scenes_dir}/{name}.txt", res,
+                              args.frames, args.warmup, c)
+            extras[name] = round(m, 3)
+        # room.txt, animated camera, 1080p: full temporal reprojection loop
+        c = RenderConfig(trace_depth=8, automate_camera=True,
+                         camera_speed_x=0.02, camera_speed_theta=0.01,
+                         camera_speed_phi=0.015, **svgf)
+        m, _ = run_config(f"{args.scenes_dir}/room.txt", (1920, 1080),
+                          args.frames, args.warmup, c, automate=True)
+        extras["room_1080p_animated"] = round(m, 3)
+        with open("bench_results.json", "w") as f:
+            json.dump({"headline": result, "extra_ms": extras}, f, indent=2)
+        print(json.dumps({"headline": result, "extra_ms": extras}),
+              file=sys.stderr)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

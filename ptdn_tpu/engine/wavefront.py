@@ -151,6 +151,8 @@ def make_trace_fn(scene, cfg, resolution):
     light_geom = 0   # reference hardcodes geoms[0] (pathtrace.cu:360-361)
 
     def trace(ds, cam, params, frame):
+        import jax
+
         origin, direction = generate_camera_rays(cam, (w, h))
         throughput = jnp.ones((n, 3))
         radiance = jnp.zeros((n, 3))
@@ -167,8 +169,13 @@ def make_trace_fn(scene, cfg, resolution):
         gb_ialbedo = jnp.ones((n, 3))
 
         active = isect["hit"]
-        for depth in range(1, cfg.trace_depth + 1):
-            seed = init_rand(lane, jnp.uint32(frame) + jnp.uint32(depth))
+
+        def bounce(carry, depth):
+            """One reference bounce-loop iteration (pathtrace.cu:325-394).
+            `depth` is traced so the whole loop compiles ONCE (scan)."""
+            (origin, direction, throughput, radiance, diffuse_flag, active,
+             isect) = carry
+            seed = init_rand(lane, jnp.uint32(frame) + depth.astype(jnp.uint32))
             mat = isect["mat_id"]
             emitt = ds.mat_emittance[mat]
             emissive = emitt > 0.0
@@ -194,8 +201,8 @@ def make_trace_fn(scene, cfg, resolution):
             # the reference's glm::clamp there discards its result — no-op)
             alb = albedo_of(ds, mat, isect["uv"])
             apply_alb = active
-            if cfg.sep_color and cfg.denoise_enable and depth == 1:
-                apply_alb = jnp.zeros_like(active)
+            if cfg.sep_color and cfg.denoise_enable:
+                apply_alb = apply_alb & (depth > 1)
             throughput = jnp.where(apply_alb[..., None], throughput * alb,
                                    throughput)
 
@@ -216,8 +223,10 @@ def make_trace_fn(scene, cfg, resolution):
                            * (intensity * lambert)[..., None])
                 radiance = radiance + jnp.where(lit[..., None], contrib, 0.0)
 
-            # ---- scatter + next intersection (pathtrace.cu:388-392) ----
-            if depth < cfg.trace_depth:
+            # ---- scatter + next intersection, skipped at max depth
+            # (pathtrace.cu:388-392); lax.cond keeps one compiled copy ----
+            def do_scatter(args):
+                origin, direction, throughput, diffuse_flag, active, isect, seed = args
                 seed, origin, direction, throughput, became_diffuse, _ = (
                     bsdf.scatter_ray(seed, direction, throughput, ipos,
                                      inormal, m_refl, m_refr,
@@ -226,7 +235,29 @@ def make_trace_fn(scene, cfg, resolution):
                 diffuse_flag = diffuse_flag | became_diffuse
                 nxt = intersect(ds, origin, direction)
                 active = active & nxt["hit"]
-                isect = nxt
+                return origin, direction, throughput, diffuse_flag, active, nxt
+
+            def no_scatter(args):
+                origin, direction, throughput, diffuse_flag, active, isect, _ = args
+                return origin, direction, throughput, diffuse_flag, active, isect
+
+            (origin, direction, throughput, diffuse_flag, active, isect) = (
+                jax.lax.cond(
+                    depth < cfg.trace_depth, do_scatter, no_scatter,
+                    (origin, direction, throughput, diffuse_flag, active,
+                     isect, seed)))
+            return (origin, direction, throughput, radiance, diffuse_flag,
+                    active, isect), None
+
+        carry = (origin, direction, throughput, radiance, diffuse_flag,
+                 active, isect)
+        if cfg.trace_depth == 1:
+            carry, _ = bounce(carry, jnp.int32(1))
+        else:
+            carry, _ = jax.lax.scan(
+                bounce, carry, jnp.arange(1, cfg.trace_depth + 1,
+                                          dtype=jnp.int32))
+        radiance = carry[3]
 
         gbuffer = {
             "position": gb_position,
