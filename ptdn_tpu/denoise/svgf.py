@@ -74,17 +74,31 @@ def make_denoise_fn(cfg, resolution):
         elif cfg.atrous_nlevel == 0 or not cfg.spatial_enable:
             output = color_history
         else:
+            use_pallas = cfg.backend == "pallas"
+            if use_pallas:
+                from ptdn_tpu.engine.wavefront import _pallas_interpret
+                from ptdn_tpu.ops.pallas.atrous import (atrous_level_pallas,
+                                                        pack_static_planes)
+
+                interp = _pallas_interpret()
+                static_planes, static_halo = pack_static_planes(
+                    gbuffer, max_level=cfg.atrous_nlevel)
             src = color_history
             var = variance
             output = src
             for level in range(1, cfg.atrous_nlevel + 1):
-                dst, var = atrous_level(
-                    src, var, gbuffer, level,
-                    is_last=(level == cfg.atrous_nlevel),
-                    sigma_l=params["sigma_l"], sigma_n=params["sigma_n"],
-                    sigma_x=params["sigma_x"],
-                    blur_variance=cfg.blur_variance,
-                    add_color=(cfg.sep_color and cfg.add_color))
+                kw = dict(is_last=(level == cfg.atrous_nlevel),
+                          sigma_l=params["sigma_l"],
+                          sigma_n=params["sigma_n"],
+                          sigma_x=params["sigma_x"],
+                          blur_variance=cfg.blur_variance,
+                          add_color=(cfg.sep_color and cfg.add_color))
+                if use_pallas:
+                    dst, var = atrous_level_pallas(
+                        src, var, static_planes, static_halo, (h, w),
+                        level, interpret=interp, **kw)
+                else:
+                    dst, var = atrous_level(src, var, gbuffer, level, **kw)
                 if level == cfg.history_level:
                     color_history = dst
                 src = dst

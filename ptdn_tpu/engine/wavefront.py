@@ -59,9 +59,22 @@ def albedo_of(ds, mat_id, uv):
     return jnp.where((texid >= 0)[..., None], tex, base)
 
 
+def _pallas_interpret() -> bool:
+    """Run Pallas kernels interpreted when the default device is CPU
+    (the virtual-device test path)."""
+    import jax
+
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform == "cpu"
+    return jax.default_backend() == "cpu"
+
+
 def _mesh_mode(scene, cfg) -> str:
     if scene.n_tris == 0:
         return "none"
+    if cfg.backend == "pallas":
+        return "pallas"
     if cfg.mesh_mode == "brute":
         return "brute"
     if cfg.mesh_mode == "bvh" or not cfg.use_bvh:
@@ -83,6 +96,9 @@ def make_intersector(scene, cfg):
     max_prims = max(int(scene.bvh.prim_count.max()), 1) if n_tris else 1
     has_mesh = any(t == MESH for t in geom_types)
 
+    if cfg.backend == "pallas":
+        return _make_pallas_intersector(scene, cfg)
+
     def intersect(ds, o, d) -> Dict[str, jnp.ndarray]:
         n = o.shape[0]
         best_t = jnp.full(n, FLT_MAX)
@@ -91,7 +107,12 @@ def make_intersector(scene, cfg):
         best_uv = jnp.zeros((n, 2))
 
         if has_mesh and mode != "none":
-            if mode == "brute":
+            if mode == "pallas":
+                from ptdn_tpu.ops.pallas.intersect import mesh_intersect_pallas
+
+                mt, mu, mv, mi, mh = mesh_intersect_pallas(
+                    ds, o, d, n_tris, interpret=_pallas_interpret())
+            elif mode == "brute":
                 mt, mu, mv, mi, mh = mesh_brute_force(ds, o, d, n_tris)
             else:
                 mt, mu, mv, mi, mh = mesh_bvh_batched(ds, o, d,
@@ -132,6 +153,55 @@ def make_intersector(scene, cfg):
             "geom_id": best_geom,
             "hit": hit,
         }
+
+    return intersect
+
+
+def _make_pallas_intersector(scene, cfg):
+    """Fused Pallas scene kernel + XLA merge/attribute resolution."""
+    from ptdn_tpu.ops.intersect import ray_triangle
+    from ptdn_tpu.ops.pallas.scene_intersect import scene_intersect_pallas
+
+    geom_types = scene.geom_types
+    geom_mats = scene.geom_material_ids
+    n_tris = scene.n_tris
+    interp = _pallas_interpret()
+
+    def intersect(ds, o, d) -> Dict[str, jnp.ndarray]:
+        out = scene_intersect_pallas(ds, geom_types, o, d, n_tris,
+                                     interpret=interp)
+        t_a, geom_a, normal_a = out["t_a"], out["geom_a"], out["normal_a"]
+
+        if n_tris:
+            # exact glm-parity refinement on the winning triangle
+            tri = jnp.maximum(out["tri_m"], 0)
+            tv = ds.tri_v[tri]
+            t_m, u, v, mh = ray_triangle(o, d, tv[:, 0], tv[:, 1], tv[:, 2])
+            mh = mh & (out["tri_m"] >= 0) & (t_m > 0)
+            from ptdn_tpu.ops.bvh_traverse import mesh_closest_hit_attrs
+
+            m_normal, m_uv, m_geom, _ = mesh_closest_hit_attrs(
+                ds, o, d, t_m, u, v, tri, mh, compat=cfg.compat)
+            # merge: strict-< against the analytic winner (geom-order ties
+            # are measure-zero across analytic/mesh, see docstring)
+            a_valid = geom_a >= 0
+            mesh_wins = mh & (~a_valid | (t_m < t_a))
+            t = jnp.where(mesh_wins, t_m, jnp.where(a_valid, t_a, -1.0))
+            geom = jnp.where(mesh_wins, m_geom,
+                             jnp.where(a_valid, geom_a, -1))
+            normal = jnp.where(mesh_wins[..., None], m_normal, normal_a)
+            uv = jnp.where(mesh_wins[..., None], m_uv, 0.0)
+        else:
+            t = jnp.where(geom_a >= 0, t_a, -1.0)
+            geom = geom_a
+            normal = normal_a
+            uv = jnp.zeros(o.shape[:-1] + (2,))
+
+        hit = geom >= 0
+        mat_table = jnp.asarray(np.asarray(geom_mats, np.int32))
+        mat_id = jnp.where(hit, mat_table[jnp.maximum(geom, 0)], 0)
+        return {"t": t, "normal": normal, "uv": uv, "mat_id": mat_id,
+                "geom_id": geom, "hit": hit}
 
     return intersect
 

@@ -1,0 +1,248 @@
+"""Pallas TPU kernel: fused edge-stopping à-trous level.
+
+One launch = one full ATrousFilter level (reference src/denoise.cu:77-170):
+the 3x3 Gaussian variance pre-blur, all 25 dilated taps with
+luminance/normal/position edge-stopping weights, color/variance
+normalization, and (last level) albedo remodulation — fused over a
+row-strip grid so every input tile is read from HBM exactly once into
+VMEM, instead of XLA materializing 25 shifted image copies.
+
+Layout: images are split into single-channel (H, W) planes, W padded to a
+lane multiple and H padded by the halo. The G-buffer planes (position,
+normal, albedo*ialbedo) are packed ONCE per frame (`pack_static_planes`)
+and reused by all 5 levels; only color+variance are repacked per level.
+Strips overlap by the halo (2*step + 1 rows), which non-overlapping
+BlockSpecs can't express, so inputs stay in HBM (`pl.ANY`) and the kernel
+DMAs each strip+halo into VMEM scratch — the standard overlapping-stencil
+pattern.
+
+Semantics note (same as the XLA path): the reference updates its variance
+buffer in place while neighbors read it (a data race, denoise.cu:153-161);
+we implement the intended read-old/write-new semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+STRIP = 64   # output rows per grid step
+MAX_LEVEL_HALO = 2 * (1 << 7) + 1   # supports atrous levels <= 7
+
+# 5x5 B3-spline kernel weights (denoise.cu:82-86)
+_H5 = np.asarray([1/256, 1/64, 3/128, 1/64, 1/256,
+                  1/64, 1/16, 3/32, 1/16, 1/64,
+                  3/128, 3/32, 9/64, 3/32, 3/128,
+                  1/64, 1/16, 3/32, 1/16, 1/64,
+                  1/256, 1/64, 3/128, 1/64, 1/256], np.float64)
+_G3 = np.asarray([1/16, 1/8, 1/16, 1/8, 1/4, 1/8, 1/16, 1/8, 1/16],
+                 np.float64)
+
+# plane indices: dynamic pack (per level) and static pack (per frame)
+_CR, _CG, _CB, _VAR = range(4)
+_PX, _PY, _PZ, _NX, _NY, _NZ, _AR, _AG, _AB = range(9)
+
+
+def _col_shift(img, dx: int):
+    """out[:, x] = img[:, x+dx] with zero fill; static dx."""
+    if dx == 0:
+        return img
+    z = jnp.zeros_like(img)
+    if dx > 0:
+        return jnp.concatenate([img[:, dx:], z[:, :dx]], axis=1)
+    return jnp.concatenate([z[:, dx:], img[:, :dx]], axis=1)
+
+
+def _kernel(dyn_hbm, stat_hbm, sig_ref, out_c, out_v, dbuf, sbuf, sems,
+            *, level: int, h: int, w: int, wp: int, is_last: bool,
+            blur_variance: bool, add_color: bool):
+    step = 1 << level
+    halo = 2 * step + 1
+    rows = STRIP + 2 * halo
+    i = pl.program_id(0)
+
+    cp_d = pltpu.make_async_copy(
+        dyn_hbm.at[:, pl.ds(i * STRIP, rows), :], dbuf, sems.at[0])
+    cp_s = pltpu.make_async_copy(
+        stat_hbm.at[:, pl.ds(i * STRIP, rows), :], sbuf, sems.at[1])
+    cp_d.start()
+    cp_s.start()
+    cp_d.wait()
+    cp_s.wait()
+
+    def dyn(p, dy=0, dx=0):
+        sl = jax.lax.dynamic_slice_in_dim(dbuf[p], halo + dy, STRIP, axis=0)
+        return _col_shift(sl, dx)
+
+    def stat(p, dy=0, dx=0):
+        sl = jax.lax.dynamic_slice_in_dim(sbuf[p], halo + dy, STRIP, axis=0)
+        return _col_shift(sl, dx)
+
+    # global coords of this strip's output pixels (validity masks)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (STRIP, wp), 0) + i * STRIP
+    xs = jax.lax.broadcasted_iota(jnp.int32, (STRIP, wp), 1)
+
+    def inb(dy: int, dx: int):
+        return (((ys + dy) >= 0) & ((ys + dy) < h)
+                & ((xs + dx) >= 0) & ((xs + dx) < w)).astype(jnp.float32)
+
+    # ---- variance at p: optional border-renormalized 3x3 Gaussian ----
+    if blur_variance:
+        vsum = jnp.zeros((STRIP, wp), jnp.float32)
+        wsum = jnp.zeros((STRIP, wp), jnp.float32)
+        k = 0
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                g = float(_G3[k]); k += 1
+                m = inb(dy, dx)
+                vsum += g * dyn(_VAR, dy, dx) * m
+                wsum += g * m
+        var_p = jnp.maximum(vsum / wsum, 0.0)
+    else:
+        var_p = jnp.maximum(dyn(_VAR), 0.0)
+
+    sigma_l = sig_ref[0, 0]
+    sigma_n = sig_ref[0, 1]
+    sigma_x = sig_ref[0, 2]
+    denom_l = 1.0 / (jnp.sqrt(var_p) * sigma_l + 1e-6)
+    inv_sn = 1.0 / (sigma_n + 1e-6)
+    inv_sx = 1.0 / (sigma_x + 1e-6)
+
+    cr, cg, cb = dyn(_CR), dyn(_CG), dyn(_CB)
+    lp = 0.2126 * cr + 0.7152 * cg + 0.0722 * cb
+    px, py, pz = stat(_PX), stat(_PY), stat(_PZ)
+    nx, ny, nz = stat(_NX), stat(_NY), stat(_NZ)
+
+    csum_r = jnp.zeros((STRIP, wp), jnp.float32)
+    csum_g = jnp.zeros((STRIP, wp), jnp.float32)
+    csum_b = jnp.zeros((STRIP, wp), jnp.float32)
+    vsum2 = jnp.zeros((STRIP, wp), jnp.float32)
+    wsum2 = jnp.zeros((STRIP, wp), jnp.float32)
+    w2sum = jnp.zeros((STRIP, wp), jnp.float32)
+
+    k = 0
+    for j in (-2, -1, 0, 1, 2):          # k = (2+i) + (2+j)*5 order
+        for ii in (-2, -1, 0, 1, 2):     # (denoise.cu:130-148)
+            hk = float(_H5[k]); k += 1
+            dy, dx = j * step, ii * step
+            qr, qg, qb = dyn(_CR, dy, dx), dyn(_CG, dy, dx), dyn(_CB, dy, dx)
+            lq = 0.2126 * qr + 0.7152 * qg + 0.0722 * qb
+            dxp = px - stat(_PX, dy, dx)
+            dyp = py - stat(_PY, dy, dx)
+            dzp = pz - stat(_PZ, dy, dx)
+            dist_x = jnp.sqrt(dxp * dxp + dyp * dyp + dzp * dzp)
+            dxn = nx - stat(_NX, dy, dx)
+            dyn_ = ny - stat(_NY, dy, dx)
+            dzn = nz - stat(_NZ, dy, dx)
+            dist_n = jnp.sqrt(dxn * dxn + dyn_ * dyn_ + dzn * dzn)
+            wl = jnp.exp(-jnp.abs(lp - lq) * denom_l)
+            wn = jnp.minimum(1.0, jnp.exp(-dist_n * inv_sn))
+            wx = jnp.minimum(1.0, jnp.exp(-dist_x * inv_sx))
+            wgt = hk * wl * wn * wx * inb(dy, dx)
+            wsum2 += wgt
+            w2sum += wgt * wgt
+            csum_r += qr * wgt
+            csum_g += qg * wgt
+            csum_b += qb * wgt
+            vsum2 += dyn(_VAR, dy, dx) * wgt * wgt
+
+    ok = wsum2 > 1e-5                              # 10e-6 (denoise.cu:159)
+    inv_w = 1.0 / jnp.where(ok, wsum2, 1.0)
+    out_r = jnp.where(ok, csum_r * inv_w, cr)
+    out_g = jnp.where(ok, csum_g * inv_w, cg)
+    out_b = jnp.where(ok, csum_b * inv_w, cb)
+    new_var = jnp.where(ok, vsum2 / jnp.where(w2sum > 0, w2sum, 1.0),
+                        dyn(_VAR))
+    if is_last and add_color:
+        out_r = out_r * stat(_AR)
+        out_g = out_g * stat(_AG)
+        out_b = out_b * stat(_AB)
+
+    out_c[0] = out_r
+    out_c[1] = out_g
+    out_c[2] = out_b
+    out_v[:] = new_var
+
+
+def _pad_planes(planes, halo, hp, h, w, wp):
+    return jnp.pad(planes, ((0, 0), (halo, halo + hp - h), (0, wp - w)))
+
+
+def pack_static_planes(gbuffer, max_level: int):
+    """G-buffer planes packed once per frame, padded for the LARGEST halo
+    (all levels share them; smaller levels just read a sub-window)."""
+    h, w = gbuffer["position"].shape[:2]
+    alb = gbuffer["albedo"] * gbuffer["ialbedo"]
+    planes = jnp.stack([
+        gbuffer["position"][..., 0], gbuffer["position"][..., 1],
+        gbuffer["position"][..., 2],
+        gbuffer["normal"][..., 0], gbuffer["normal"][..., 1],
+        gbuffer["normal"][..., 2],
+        alb[..., 0], alb[..., 1], alb[..., 2],
+    ])
+    halo = 2 * (1 << max_level) + 1
+    wp = -(-w // 128) * 128
+    hp = -(-h // STRIP) * STRIP
+    return _pad_planes(planes, halo, hp, h, w, wp), halo
+
+
+def atrous_level_pallas(color, variance, static_planes, static_halo: int,
+                        gbuffer_shape, level: int, is_last: bool,
+                        sigma_l, sigma_n, sigma_x, blur_variance: bool,
+                        add_color: bool, interpret: bool = False):
+    """One fused à-trous level. static_planes from pack_static_planes.
+    Returns (color_out (H,W,3), variance_out (H,W))."""
+    h, w = gbuffer_shape
+    step = 1 << level
+    halo = 2 * step + 1
+    wp = -(-w // 128) * 128
+    hp = -(-h // STRIP) * STRIP
+
+    dyn = jnp.stack([color[..., 0], color[..., 1], color[..., 2], variance])
+    dyn = _pad_planes(dyn, halo, hp, h, w, wp)
+    # static planes are padded with static_halo rows; this level needs
+    # halo rows: offset so that scratch row r == global row r - halo
+    stat = jax.lax.slice_in_dim(static_planes, static_halo - halo,
+                                static_halo - halo + hp + 2 * halo, axis=1)
+
+    sig = jnp.stack([jnp.float32(sigma_l), jnp.float32(sigma_n),
+                     jnp.float32(sigma_x)]).reshape(1, 3)
+
+    rows = STRIP + 2 * halo
+    kern = functools.partial(_kernel, level=level, h=h, w=w, wp=wp,
+                             is_last=is_last, blur_variance=blur_variance,
+                             add_color=add_color)
+    out_c, out_v = pl.pallas_call(
+        kern,
+        grid=(hp // STRIP,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),        # dyn planes (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),        # static planes
+            pl.BlockSpec((1, 3), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),       # sigmas
+        ],
+        out_specs=[
+            pl.BlockSpec((3, STRIP, wp), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((STRIP, wp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((4, rows, wp), jnp.float32),
+            pltpu.VMEM((9, rows, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(dyn, stat, sig)
+
+    color_out = jnp.moveaxis(out_c[:, :h, :w], 0, -1)
+    return color_out, out_v[:h, :w]

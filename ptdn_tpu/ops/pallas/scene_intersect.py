@@ -1,0 +1,296 @@
+"""Pallas TPU kernel: fused whole-scene closest-hit (analytic + mesh).
+
+One launch per intersection pass. The computeIntersection dispatcher
+(reference src/pathtrace.cu:210-281) becomes a single VMEM-resident
+kernel over ray blocks of 1024 (laid out [8, 128]: rays in lanes):
+
+* analytic cubes/spheres: statically unrolled per-geom slab/quadric tests
+  (intersections.h:50-146) on full [8, 128] tiles, with the reference's
+  strict-< geom-order tie-breaking folded in;
+* mesh triangles: chunked 128-triangle loop; per chunk an AABB cull (any
+  ray in the block) then a sublane-group Moller-Trumbore — triangle data
+  sliced as [8, 1] vectors against ray rows [1, 128], so the pairwise
+  test is pure VPU broadcast arithmetic with NO per-pair memory traffic;
+* outputs only reduced per-ray results ((NB,128) planes), so HBM traffic
+  per pass is ~25 MB instead of the XLA path's ~8 GB of (N,128)
+  temporaries.
+
+The caller refines the winning triangle with the exact glm-parity test
+(ops/intersect.ray_triangle) and resolves normals/uv/material in XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ptdn_tpu.scene.parser import CUBE, MESH, SPHERE
+
+FLT_MAX = 3.402823466e38
+FLT_EPSILON = 1.1920929e-07
+BACKOFF = 1e-4
+RROWS = 8            # ray rows per block -> 1024 rays
+TCHUNK = 128
+TGROUP = 8
+
+
+def _analytic_part(geom_types, tf, inv, invt, o, d, shape):
+    """Unrolled analytic-geom loop; o/d are component tuples of [8,128]."""
+    ox, oy, oz = o
+    dx, dy, dz = d
+    best_t = jnp.full(shape, FLT_MAX, jnp.float32)
+    best_g = jnp.full(shape, -1.0, jnp.float32)
+    bnx = jnp.zeros(shape, jnp.float32)
+    bny = jnp.zeros(shape, jnp.float32)
+    bnz = jnp.zeros(shape, jnp.float32)
+
+    for gi, gtype in enumerate(geom_types):
+        if gtype == MESH:
+            continue
+        iv = [[inv[gi, r, c] for c in range(4)] for r in range(4)]
+        m = [[tf[gi, r, c] for c in range(4)] for r in range(4)]
+
+        qox = iv[0][0] * ox + iv[0][1] * oy + iv[0][2] * oz + iv[0][3]
+        qoy = iv[1][0] * ox + iv[1][1] * oy + iv[1][2] * oz + iv[1][3]
+        qoz = iv[2][0] * ox + iv[2][1] * oy + iv[2][2] * oz + iv[2][3]
+        qdx = iv[0][0] * dx + iv[0][1] * dy + iv[0][2] * dz
+        qdy = iv[1][0] * dx + iv[1][1] * dy + iv[1][2] * dz
+        qdz = iv[2][0] * dx + iv[2][1] * dy + iv[2][2] * dz
+        qn = 1.0 / jnp.sqrt(qdx * qdx + qdy * qdy + qdz * qdz)
+        qdx, qdy, qdz = qdx * qn, qdy * qn, qdz * qn
+
+        if gtype == CUBE:
+            # slab test (intersections.h:50-92)
+            tmin = jnp.full(shape, -1e38, jnp.float32)
+            tmax = jnp.full(shape, 1e38, jnp.float32)
+            tmin_nx = jnp.zeros(shape, jnp.float32)
+            tmin_ny = jnp.zeros(shape, jnp.float32)
+            tmin_nz = jnp.zeros(shape, jnp.float32)
+            tmax_nx = jnp.zeros(shape, jnp.float32)
+            tmax_ny = jnp.zeros(shape, jnp.float32)
+            tmax_nz = jnp.zeros(shape, jnp.float32)
+            for ax, (qo_a, qd_a) in enumerate(((qox, qdx), (qoy, qdy),
+                                               (qoz, qdz))):
+                t1 = (-0.5 - qo_a) / qd_a
+                t2 = (0.5 - qo_a) / qd_a
+                ta = jnp.minimum(t1, t2)
+                tb = jnp.maximum(t1, t2)
+                nsign = jnp.where(t2 < t1, 1.0, -1.0)
+                um = (ta > 0) & (ta > tmin)
+                tmin = jnp.where(um, ta, tmin)
+                tmin_nx = jnp.where(um, nsign if ax == 0 else 0.0, tmin_nx)
+                tmin_ny = jnp.where(um, nsign if ax == 1 else 0.0, tmin_ny)
+                tmin_nz = jnp.where(um, nsign if ax == 2 else 0.0, tmin_nz)
+                ux = tb < tmax
+                tmax = jnp.where(ux, tb, tmax)
+                tmax_nx = jnp.where(ux, nsign if ax == 0 else 0.0, tmax_nx)
+                tmax_ny = jnp.where(ux, nsign if ax == 1 else 0.0, tmax_ny)
+                tmax_nz = jnp.where(ux, nsign if ax == 2 else 0.0, tmax_nz)
+            hit = (tmax >= tmin) & (tmax > 0)
+            inside = tmin <= 0
+            t_obj = jnp.where(inside, tmax, tmin)
+            n_ox = jnp.where(inside, tmax_nx, tmin_nx)
+            n_oy = jnp.where(inside, tmax_ny, tmin_ny)
+            n_oz = jnp.where(inside, tmax_nz, tmin_nz)
+        else:  # SPHERE (intersections.h:104-146)
+            vdot = qox * qdx + qoy * qdy + qoz * qdz
+            radicand = vdot * vdot - (qox * qox + qoy * qoy + qoz * qoz
+                                      - 0.25)
+            sq = jnp.sqrt(jnp.maximum(radicand, 0.0))
+            t1 = -vdot + sq
+            t2 = -vdot - sq
+            both_neg = (t1 < 0) & (t2 < 0)
+            both_pos = (t1 > 0) & (t2 > 0)
+            inside = ~both_pos
+            t_obj = jnp.where(both_pos, jnp.minimum(t1, t2),
+                              jnp.maximum(t1, t2))
+            hit = (radicand >= 0) & ~both_neg
+
+        # object-space hit point with the 1e-4 backoff
+        pox = qox + (t_obj - BACKOFF) * qdx
+        poy = qoy + (t_obj - BACKOFF) * qdy
+        poz = qoz + (t_obj - BACKOFF) * qdz
+        wx = m[0][0] * pox + m[0][1] * poy + m[0][2] * poz + m[0][3]
+        wy = m[1][0] * pox + m[1][1] * poy + m[1][2] * poz + m[1][3]
+        wz = m[2][0] * pox + m[2][1] * poy + m[2][2] * poz + m[2][3]
+        t_world = jnp.sqrt((ox - wx) ** 2 + (oy - wy) ** 2 + (oz - wz) ** 2)
+
+        if gtype == CUBE:
+            # normal via transform (reference quirk, intersections.h:88)
+            nwx = m[0][0] * n_ox + m[0][1] * n_oy + m[0][2] * n_oz
+            nwy = m[1][0] * n_ox + m[1][1] * n_oy + m[1][2] * n_oz
+            nwz = m[2][0] * n_ox + m[2][1] * n_oy + m[2][2] * n_oz
+        else:
+            it = [[invt[gi, r, c] for c in range(4)] for r in range(4)]
+            nwx = it[0][0] * pox + it[0][1] * poy + it[0][2] * poz
+            nwy = it[1][0] * pox + it[1][1] * poy + it[1][2] * poz
+            nwz = it[2][0] * pox + it[2][1] * poy + it[2][2] * poz
+            flip = jnp.where(inside, -1.0, 1.0)
+            nwx, nwy, nwz = nwx * flip, nwy * flip, nwz * flip
+        nn = 1.0 / jnp.sqrt(nwx * nwx + nwy * nwy + nwz * nwz)
+        nwx, nwy, nwz = nwx * nn, nwy * nn, nwz * nn
+
+        better = hit & (t_world > 0) & (t_world < best_t)
+        best_t = jnp.where(better, t_world, best_t)
+        best_g = jnp.where(better, float(gi), best_g)
+        bnx = jnp.where(better, nwx, bnx)
+        bny = jnp.where(better, nwy, bny)
+        bnz = jnp.where(better, nwz, bnz)
+
+    return best_t, best_g, bnx, bny, bnz
+
+
+def _kernel(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
+            tf_r, inv_r, invt_r, tri_r, cmin_r, cmax_r,
+            ta_o, ga_o, nx_o, ny_o, nz_o, tm_o, im_o,
+            *, geom_types, n_tris: int, n_chunks: int, cull: bool):
+    shape = (RROWS, 128)
+    ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
+    dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
+
+    ta, ga, nx, ny, nz = _analytic_part(
+        geom_types, tf_r, inv_r, invt_r, (ox, oy, oz), (dx, dy, dz), shape)
+    ta_o[:] = jnp.where(ga >= 0.0, ta, -1.0)
+    ga_o[:] = ga
+    nx_o[:] = nx
+    ny_o[:] = ny
+    nz_o[:] = nz
+
+    if n_tris == 0:
+        tm_o[:] = jnp.full(shape, -1.0, jnp.float32)
+        im_o[:] = jnp.full(shape, -1.0, jnp.float32)
+        return
+
+    # ---------------- mesh part ----------------
+    sub_i = jax.lax.broadcasted_iota(jnp.int32, (TGROUP, 1), 0).astype(
+        jnp.float32)
+    if cull:
+        idx = 1.0 / dx
+        idy = 1.0 / dy
+        idz = 1.0 / dz
+
+    def moller_rows(tri, base_f, bt, bi):
+        """tri: [TGROUP, 12] slice; test 8 tris x all rays in the block."""
+        v0x, v0y, v0z = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
+        e1x, e1y, e1z = tri[:, 3:4], tri[:, 4:5], tri[:, 5:6]
+        e2x, e2y, e2z = tri[:, 6:7], tri[:, 7:8], tri[:, 8:9]
+        new_rows = []
+        for r in range(RROWS):
+            rdx, rdy, rdz = dx[r:r + 1], dy[r:r + 1], dz[r:r + 1]
+            rox, roy, roz = ox[r:r + 1], oy[r:r + 1], oz[r:r + 1]
+            # p = cross(d, e2): [8, 128]
+            px = rdy * e2z - rdz * e2y
+            py = rdz * e2x - rdx * e2z
+            pz = rdx * e2y - rdy * e2x
+            a = e1x * px + e1y * py + e1z * pz
+            f = 1.0 / a
+            sx, sy, sz = rox - v0x, roy - v0y, roz - v0z
+            u = f * (sx * px + sy * py + sz * pz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            v = f * (rdx * qx + rdy * qy + rdz * qz)
+            t = f * (e2x * qx + e2y * qy + e2z * qz)
+            ok = ((a >= FLT_EPSILON) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                  & (u + v <= 1.0) & (t > 0.0))
+            tm = jnp.where(ok, t, FLT_MAX)
+            gt = jnp.min(tm, axis=0, keepdims=True)              # [1,128]
+            gi = jnp.min(jnp.where(tm == gt, base_f + sub_i, FLT_MAX),
+                         axis=0, keepdims=True)
+            btr = bt[r:r + 1]
+            bir = bi[r:r + 1]
+            upd = gt < btr
+            new_rows.append((jnp.where(upd, gt, btr),
+                             jnp.where(upd, gi, bir)))
+        return (jnp.concatenate([x for x, _ in new_rows], axis=0),
+                jnp.concatenate([x for _, x in new_rows], axis=0))
+
+    def chunk_body(c, best):
+        bt, bi = best
+
+        def hit_chunk(best):
+            bt, bi = best
+
+            def group(g, best2):
+                bt2, bi2 = best2
+                # slice triangle rows straight from the VMEM ref
+                sl = tri_r[pl.ds(c * TCHUNK + g * TGROUP, TGROUP), :]
+                base_f = (c * TCHUNK + g * TGROUP).astype(jnp.float32)
+                return moller_rows(sl, base_f, bt2, bi2)
+
+            return jax.lax.fori_loop(0, TCHUNK // TGROUP, group, (bt, bi))
+
+        if cull:
+            t0x = (cmin_r[c, 0] - ox) * idx
+            t1x = (cmax_r[c, 0] - ox) * idx
+            t0y = (cmin_r[c, 1] - oy) * idy
+            t1y = (cmax_r[c, 1] - oy) * idy
+            t0z = (cmin_r[c, 2] - oz) * idz
+            t1z = (cmax_r[c, 2] - oz) * idz
+            tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                           jnp.minimum(t0y, t1y)),
+                               jnp.minimum(t0z, t1z))
+            tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                           jnp.maximum(t0y, t1y)),
+                               jnp.maximum(t0z, t1z))
+            any_hit = jnp.any((tmax >= 0.0) & (tmin <= tmax) & (tmin < bt))
+            return jax.lax.cond(any_hit, hit_chunk, lambda b: b, (bt, bi))
+        return hit_chunk((bt, bi))
+
+    bt0 = jnp.full(shape, FLT_MAX, jnp.float32)
+    bi0 = jnp.full(shape, FLT_MAX, jnp.float32)
+    bt, bi = jax.lax.fori_loop(0, n_chunks, chunk_body, (bt0, bi0))
+    found = bi < FLT_MAX
+    # mask out padding triangles of the last chunk
+    found = found & (bi < float(n_tris))
+    tm_o[:] = jnp.where(found, bt, -1.0)
+    im_o[:] = jnp.where(found, bi, -1.0)
+
+
+def scene_intersect_pallas(ds, geom_types, o, d, n_tris: int,
+                           cull: bool = True, interpret: bool = False):
+    """Fused analytic+mesh closest hit.
+
+    Returns dict with analytic best (t_a, geom_a, normal_a) and mesh best
+    (t_m, tri_m) — merged into the reference contract by the engine.
+    """
+    n = o.shape[0]
+    blk = RROWS * 128
+    pad = (-n) % blk
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+    npad = n + pad
+    nb = npad // 128
+    comps = [o[:, 0].reshape(nb, 128), o[:, 1].reshape(nb, 128),
+             o[:, 2].reshape(nb, 128), d[:, 0].reshape(nb, 128),
+             d[:, 1].reshape(nb, 128), d[:, 2].reshape(nb, 128)]
+
+    n_chunks = int(ds.tri_mm.shape[0]) if n_tris else 0
+    kern = functools.partial(_kernel, geom_types=tuple(geom_types),
+                             n_tris=n_tris, n_chunks=n_chunks, cull=cull)
+    ray_spec = pl.BlockSpec((RROWS, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kern,
+        grid=(nb // RROWS,),
+        in_specs=[ray_spec] * 6 + [full] * 6,
+        out_specs=[ray_spec] * 7,
+        out_shape=[jax.ShapeDtypeStruct((nb, 128), jnp.float32)] * 7,
+        interpret=interpret,
+    )(*comps, ds.geom_transform, ds.geom_inverse, ds.geom_inv_transpose,
+      ds.tri_moller, ds.tri_chunk_min, ds.tri_chunk_max)
+
+    ta, ga, nxx, nyy, nzz, tm, im = [x.reshape(npad)[:n] for x in outs]
+    return {
+        "t_a": ta,
+        "geom_a": ga.astype(jnp.int32),
+        "normal_a": jnp.stack([nxx, nyy, nzz], axis=-1),
+        "t_m": tm,
+        "tri_m": im.astype(jnp.int32),
+    }

@@ -81,6 +81,17 @@ class DeviceScene:
     # texture atlas (K textures padded to a common size)
     tex_atlas: object           # (K, Hmax, Wmax, 3) f32, raw 0..255 values
     tex_wh: object              # (K, 2) i32 (w, h)
+    # matmul-form triangle data for the Pallas/MXU intersector:
+    # per 128-triangle chunk c and plane p in (n, u, v), tri_mm[c, p] is a
+    # (4, 128) matrix whose columns are (n, -n.v0) / (g1, c1) / (g2, c2),
+    # so [o,1] @ M and [d,0] @ M give every term of the plane/barycentric
+    # ray-triangle test as two tiny matmuls (see ops/pallas/intersect.py)
+    tri_mm: object              # (C, 3, 4, 128) f32
+    tri_chunk_min: object       # (C, 3) f32 chunk AABBs (for chunk culling)
+    tri_chunk_max: object       # (C, 3) f32
+    # Moller-Trumbore SoA for the Pallas scene-intersect kernel:
+    # rows are (v0.xyz, e1.xyz, e2.xyz, 0,0,0) per triangle
+    tri_moller: object          # (Tp, 12) f32
 
 
 @dataclasses.dataclass
@@ -264,6 +275,41 @@ class Scene:
             atlas = np.zeros((1, 1, 1, 3), F)
             wh = np.ones((1, 2), np.int32)
 
+        # matmul-form triangle planes for the MXU intersector
+        tv = pad_mult(self.tri_v)                     # (Tp, 3, 3)
+        tp = tv.shape[0]
+        v0, v1, v2 = tv[:, 0], tv[:, 1], tv[:, 2]
+        e1, e2 = v1 - v0, v2 - v0
+        nrm = np.cross(e1, e2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            g1 = np.cross(e2, nrm)
+            g1 = g1 / np.sum(g1 * e1, axis=-1, keepdims=True)
+            g2 = np.cross(e1, nrm)
+            g2 = g2 / np.sum(g2 * e2, axis=-1, keepdims=True)
+        # degenerate/padding tris produce nan/inf rows -> culled in-kernel
+        d0 = np.sum(nrm * v0, axis=-1)
+        c1 = -np.sum(g1 * v0, axis=-1)
+        c2 = -np.sum(g2 * v0, axis=-1)
+        planes = np.stack([
+            np.concatenate([nrm, -d0[:, None]], axis=1),   # (Tp, 4)
+            np.concatenate([g1, c1[:, None]], axis=1),
+            np.concatenate([g2, c2[:, None]], axis=1),
+        ], axis=1).astype(F)                               # (Tp, 3, 4)
+        n_chunks = tp // 128
+        tri_mm = np.ascontiguousarray(
+            planes.reshape(n_chunks, 128, 3, 4).transpose(0, 2, 3, 1))
+        # chunk AABBs over REAL triangles only (padding rows excluded)
+        cmin = np.full((n_chunks, 3), np.inf, F)
+        cmax = np.full((n_chunks, 3), -np.inf, F)
+        for c in range(n_chunks):
+            lo, hi = c * 128, min((c + 1) * 128, self.n_tris)
+            if lo < hi:
+                cmin[c] = self.tri_v[lo:hi].reshape(-1, 3).min(axis=0)
+                cmax[c] = self.tri_v[lo:hi].reshape(-1, 3).max(axis=0)
+            else:
+                cmin[c] = 0.0
+                cmax[c] = 0.0
+
         j = jnp.asarray
         bvh = self.bvh
         return DeviceScene(
@@ -294,6 +340,11 @@ class Scene:
             mesh_bb_max=j(pad1(self.mesh_bb_max)),
             tex_atlas=j(atlas),
             tex_wh=j(wh),
+            tri_mm=j(tri_mm),
+            tri_chunk_min=j(np.nan_to_num(cmin)),
+            tri_chunk_max=j(np.nan_to_num(cmax)),
+            tri_moller=j(np.concatenate(
+                [v0, e1, e2, np.zeros_like(v0)], axis=1).astype(F)),
         )
 
     # static metadata used to build traced programs

@@ -1,0 +1,171 @@
+"""SVGF denoiser unit tests: reprojection math against hand-computed
+cases, à-trous invariants, Pallas/XLA parity, debug views."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ptdn_tpu.denoise.atrous import atrous_level, gaussian3x3
+from ptdn_tpu.denoise.reproject import back_projection, luminance
+from ptdn_tpu.denoise.svgf import init_denoise_state, make_denoise_fn
+from ptdn_tpu.utils.config import RenderConfig
+
+H = W = 16
+
+
+def _flat_gbuffer(z=-5.0):
+    """A flat wall at depth z, all same geom, normals +z."""
+    ys, xs = np.mgrid[0:H, 0:W]
+    pos = np.stack([xs - W / 2, ys - H / 2, np.full_like(xs, z)],
+                   axis=-1).astype(np.float32)
+    return {
+        "position": jnp.asarray(pos),
+        "normal": jnp.asarray(np.broadcast_to([0, 0, 1.0], (H, W, 3))
+                              .astype(np.float32)),
+        "geom_id": jnp.zeros((H, W), jnp.int32),
+    }
+
+
+def test_backprojection_identity_reprojection():
+    """With identity view matrix & history, a static camera reprojects a
+    pixel onto itself and the EWMA follows denoise.cu:288-307."""
+    gb = _flat_gbuffer()
+    # craft a prev view matrix that maps position -> the same pixel:
+    # prevx = (-x/z*0.5 + 0.5)*W - 0.5 must equal the pixel x.
+    # Use the camera basis at the origin looking down -z: view=(0,0,-1).
+    vm = np.eye(4, dtype=np.float32)
+    vm[2, 2] = -1.0  # view space z = -world z (camera looks down -z)
+    color = jnp.full((H, W, 3), 0.5, jnp.float32)
+    hist_color = jnp.full((H, W, 3), 1.0, jnp.float32)
+    hist_moment = jnp.asarray(
+        np.broadcast_to([0.5, 0.25], (H, W, 2)).astype(np.float32))
+    hist_len = jnp.full((H, W), 4, jnp.int32)
+
+    var, cacc, macc, hup = back_projection(
+        (W, H), color, gb, gb, jnp.asarray(vm), hist_color, hist_moment,
+        hist_len, jnp.float32(0.2), jnp.float32(0.2))
+
+    var, cacc, macc, hup = map(np.asarray, (var, cacc, macc, hup))
+    # the central pixels must have valid history
+    c = H // 2
+    lum = float(luminance(color)[c, c])
+    assert hup[c, c] >= 2  # accumulated
+    # alpha = max(1/5, 0.2) = 0.2: color = 0.2*cur + 0.8*prev
+    valid = hup > 1
+    assert valid.any()
+    np.testing.assert_allclose(cacc[valid], 0.2 * 0.5 + 0.8 * 1.0, atol=1e-3)
+    # moments: INVERTED alpha (denoise.cu:300-301): m = 0.2*prev + 0.8*cur
+    np.testing.assert_allclose(macc[valid][:, 0],
+                               0.2 * 0.5 + 0.8 * lum, atol=1e-3)
+    # rejected pixels get variance 100, history 1 (denoise.cu:311-315)
+    rej = hup == 1
+    if rej.any():
+        np.testing.assert_allclose(var[rej], 100.0)
+
+
+def test_backprojection_rejects_geometry_change():
+    gb_curr = _flat_gbuffer()
+    gb_prev = dict(gb_curr)
+    gb_prev["geom_id"] = jnp.ones((H, W), jnp.int32)  # different geom
+    vm = np.eye(4, dtype=np.float32)
+    vm[2, 2] = -1.0
+    color = jnp.full((H, W, 3), 0.5, jnp.float32)
+    var, cacc, macc, hup = back_projection(
+        (W, H), color, gb_curr, gb_prev, jnp.asarray(vm), color,
+        jnp.zeros((H, W, 2)), jnp.full((H, W), 4, jnp.int32),
+        jnp.float32(0.2), jnp.float32(0.2))
+    assert (np.asarray(hup) == 1).all()
+    assert (np.asarray(var) == 100.0).all()
+    np.testing.assert_allclose(np.asarray(cacc), 0.5)
+
+
+def test_gaussian3x3_uniform_invariance():
+    v = jnp.full((8, 8), 3.0, jnp.float32)
+    out = np.asarray(gaussian3x3(v))
+    np.testing.assert_allclose(out, 3.0, atol=1e-6)  # border renormalized
+
+
+def test_atrous_preserves_uniform_image():
+    color = jnp.full((H, W, 3), 0.25, jnp.float32)
+    var = jnp.full((H, W), 1.0, jnp.float32)
+    gb = _flat_gbuffer()
+    gb["albedo"] = jnp.ones((H, W, 3), jnp.float32)
+    gb["ialbedo"] = jnp.ones((H, W, 3), jnp.float32)
+    out, var_out = atrous_level(color, var, gb, 1, False,
+                                0.45, 0.2, 0.35, True, False)
+    np.testing.assert_allclose(np.asarray(out), 0.25, atol=1e-5)
+    # the reference normalizes propagated variance by sum(w^2)
+    # (denoise.cu:161), so uniform variance is a fixed point
+    np.testing.assert_allclose(np.asarray(var_out), 1.0, atol=1e-5)
+
+
+def test_atrous_edge_stopping_at_normal_edge():
+    """A hard normal edge must not leak color across it with small sigma."""
+    color = np.zeros((H, W, 3), np.float32)
+    color[:, : W // 2] = 1.0
+    gb = _flat_gbuffer()
+    normal = np.zeros((H, W, 3), np.float32)
+    normal[:, : W // 2, 2] = 1.0
+    normal[:, W // 2:, 0] = 1.0
+    gb["normal"] = jnp.asarray(normal)
+    gb["albedo"] = jnp.ones((H, W, 3), jnp.float32)
+    gb["ialbedo"] = jnp.ones((H, W, 3), jnp.float32)
+    out, _ = atrous_level(jnp.asarray(color), jnp.full((H, W), 1.0),
+                          gb, 1, False, 0.45, 1e-5, 1e9, False, False)
+    out = np.asarray(out)
+    np.testing.assert_allclose(out[:, : W // 2], 1.0, atol=1e-3)
+    np.testing.assert_allclose(out[:, W // 2:], 0.0, atol=1e-3)
+
+
+def test_atrous_pallas_parity_interpret():
+    from ptdn_tpu.ops.pallas.atrous import (atrous_level_pallas,
+                                            pack_static_planes)
+
+    rng = np.random.default_rng(3)
+    h, w = 64, 48
+    color = jnp.asarray(rng.uniform(size=(h, w, 3)).astype(np.float32))
+    var = jnp.asarray(rng.uniform(size=(h, w)).astype(np.float32))
+    gb = {
+        "position": jnp.asarray(rng.normal(size=(h, w, 3)).astype(np.float32)),
+        "normal": jnp.asarray(rng.normal(size=(h, w, 3)).astype(np.float32)),
+        "albedo": jnp.asarray(rng.uniform(size=(h, w, 3)).astype(np.float32)),
+        "ialbedo": jnp.ones((h, w, 3), jnp.float32),
+    }
+    sp, halo = pack_static_planes(gb, max_level=4)
+    for level, last in [(1, False), (4, True)]:
+        c0, v0 = atrous_level(color, var, gb, level, last,
+                              0.45, 0.2, 0.35, True, True)
+        c1, v1 = atrous_level_pallas(color, var, sp, halo, (h, w), level,
+                                     last, 0.45, 0.2, 0.35, True, True,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(c0), np.asarray(c1), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=1e-5)
+
+
+def test_svgf_debug_views():
+    cfg = RenderConfig(denoise_enable=True, temporal_enable=True,
+                       spatial_enable=True, right_view_option=2)
+    den = make_denoise_fn(cfg, (W, H))
+    state = init_denoise_state((W, H))
+    gb = _flat_gbuffer()
+    gb["albedo"] = jnp.ones((H, W, 3), jnp.float32)
+    gb["ialbedo"] = jnp.ones((H, W, 3), jnp.float32)
+    raw = jnp.full((H, W, 3), 0.5, jnp.float32)
+    out, st = den(state, raw, gb, jnp.eye(4), cfg.traced_params())
+    # first frame: no history -> variance = 100 -> debug view = 100/0.1
+    np.testing.assert_allclose(np.asarray(out), 1000.0)
+
+
+def test_svgf_spatial_stub_variance():
+    """Temporal off: EstimateVariance stub = 10.0 (denoise.cu:320-329)."""
+    cfg = RenderConfig(denoise_enable=True, temporal_enable=False,
+                       spatial_enable=True, right_view_option=2)
+    den = make_denoise_fn(cfg, (W, H))
+    state = init_denoise_state((W, H))
+    gb = _flat_gbuffer()
+    gb["albedo"] = jnp.ones((H, W, 3), jnp.float32)
+    gb["ialbedo"] = jnp.ones((H, W, 3), jnp.float32)
+    raw = jnp.full((H, W, 3), 0.5, jnp.float32)
+    out, st = den(state, raw, gb, jnp.eye(4), cfg.traced_params())
+    np.testing.assert_allclose(np.asarray(out), 100.0)  # 10.0/0.1
