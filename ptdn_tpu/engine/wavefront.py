@@ -59,6 +59,44 @@ def albedo_of(ds, mat_id, uv):
     return jnp.where((texid >= 0)[..., None], tex, base)
 
 
+def gather_rows_matmul(table, idx):
+    """Row gather as a one-hot MXU matmul. XLA's TPU gathers, once fused
+    with compute, run as a scalar loop (~30 M rows/s); for these small
+    tables a one-hot matmul is an order of magnitude faster."""
+    import jax
+
+    oh = jax.nn.one_hot(idx, table.shape[0], dtype=table.dtype)
+    return jnp.dot(oh, table, preferred_element_type=jnp.float32)
+
+
+def make_mat_reader(cfg):
+    """Material property access: one-hot matmul on the pallas backend,
+    plain gathers on the XLA/CPU oracle path."""
+    if cfg.backend == "pallas":
+        def read(ds, mat_idx):
+            a = gather_rows_matmul(ds.mat_attr, mat_idx)
+            return {"color": a[:, 0:3], "spec_color": a[:, 3:6],
+                    "refl": a[:, 7], "refr": a[:, 8], "ior": a[:, 9],
+                    "emit": a[:, 10], "texid": a[:, 11].astype(jnp.int32)}
+    else:
+        def read(ds, mat_idx):
+            return {"color": ds.mat_color[mat_idx],
+                    "spec_color": ds.mat_spec_color[mat_idx],
+                    "refl": ds.mat_reflective[mat_idx],
+                    "refr": ds.mat_refractive[mat_idx],
+                    "ior": ds.mat_ior[mat_idx],
+                    "emit": ds.mat_emittance[mat_idx],
+                    "texid": ds.mat_texid[mat_idx]}
+    return read
+
+
+def albedo_from(ds, mv, uv):
+    """albedo_of given an already-read material view."""
+    texid = mv["texid"]
+    tex = sample_texture(ds, jnp.maximum(texid, 0), uv)
+    return jnp.where((texid >= 0)[..., None], tex, mv["color"])
+
+
 def _pallas_interpret() -> bool:
     """Run Pallas kernels interpreted when the default device is CPU
     (the virtual-device test path)."""
@@ -173,15 +211,21 @@ def _make_pallas_intersector(scene, cfg):
         t_a, geom_a, normal_a = out["t_a"], out["geom_a"], out["normal_a"]
 
         if n_tris:
-            # exact glm-parity refinement on the winning triangle
+            # per-triangle attributes via ONE one-hot MXU matmul (see
+            # gather_rows_matmul), then exact glm-parity refinement on the
+            # winning triangle
             tri = jnp.maximum(out["tri_m"], 0)
-            tv = ds.tri_v[tri]
-            t_m, u, v, mh = ray_triangle(o, d, tv[:, 0], tv[:, 1], tv[:, 2])
+            attr = gather_rows_matmul(ds.tri_attr, tri)   # (N, 32)
+            v0, v1, v2 = attr[:, 0:3], attr[:, 3:6], attr[:, 6:9]
+            t_m, u, v, mh = ray_triangle(o, d, v0, v1, v2)
             mh = mh & (out["tri_m"] >= 0) & (t_m > 0)
-            from ptdn_tpu.ops.bvh_traverse import mesh_closest_hit_attrs
+            from ptdn_tpu.ops.intersect import interpolate_tri_hit
 
-            m_normal, m_uv, m_geom, _ = mesh_closest_hit_attrs(
-                ds, o, d, t_m, u, v, tri, mh, compat=cfg.compat)
+            m_normal, m_uv = interpolate_tri_hit(
+                u, v, attr[:, 9:12], attr[:, 12:15], attr[:, 15:18],
+                attr[:, 18:20], attr[:, 20:22], attr[:, 22:24],
+                compat=cfg.compat)
+            m_geom = jnp.where(mh, attr[:, 24].astype(jnp.int32), -1)
             # merge: strict-< against the analytic winner (geom-order ties
             # are measure-zero across analytic/mesh, see docstring)
             a_valid = geom_a >= 0
@@ -206,6 +250,42 @@ def _make_pallas_intersector(scene, cfg):
     return intersect
 
 
+def make_light_visibility(scene, cfg, light_geom: int = 0):
+    """Shadow-ray visibility of geom `light_geom` — the only thing the
+    NEE block consumes (pathtrace.cu:374): did the closest hit land on the
+    light geom? Skips all attribute resolution (a ~2x lighter pass).
+
+    Requires the light geom to be analytic (true in every shipped scene:
+    OBJECT 0 is the ceiling cube). Falls back to the full intersector
+    otherwise or on the XLA backend.
+    """
+    geom_types = scene.geom_types
+    if cfg.backend != "pallas" or geom_types[light_geom] == MESH:
+        intersect = make_intersector(scene, cfg)
+
+        def visible(ds, o, d):
+            sh = intersect(ds, o, d)
+            return sh["geom_id"] == light_geom
+
+        return visible
+
+    from ptdn_tpu.ops.pallas.scene_intersect import scene_intersect_pallas
+
+    n_tris = scene.n_tris
+    interp = _pallas_interpret()
+
+    def visible(ds, o, d):
+        out = scene_intersect_pallas(ds, geom_types, o, d, n_tris,
+                                     interpret=interp)
+        hit_light = out["geom_a"] == light_geom
+        if n_tris:
+            occluded = (out["tri_m"] >= 0) & (out["t_m"] < out["t_a"])
+            hit_light = hit_light & ~occluded
+        return hit_light
+
+    return visible
+
+
 def make_trace_fn(scene, cfg, resolution):
     """Build trace(ds, cam, params, frame_u32) -> (radiance (N,3), gbuffer).
 
@@ -216,9 +296,17 @@ def make_trace_fn(scene, cfg, resolution):
     from ptdn_tpu.ops.camera import generate_camera_rays
 
     intersect = make_intersector(scene, cfg)
+    read_mat = make_mat_reader(cfg)
     w, h = resolution
     n = w * h
     light_geom = 0   # reference hardcodes geoms[0] (pathtrace.cu:360-361)
+    light_visible = make_light_visibility(scene, cfg, light_geom)
+    # the shadow-hit material is geom 0's material — static
+    # (pathtrace.cu:374-383: the contribution only reads its emittance/color)
+    light_mat = scene.materials[scene.geom_material_ids[light_geom]]
+    light_emissive = float(light_mat.emittance) > 0.0
+    light_emit_color = np.asarray(light_mat.color, np.float32) * np.float32(
+        light_mat.emittance)
 
     def trace(ds, cam, params, frame):
         import jax
@@ -235,7 +323,8 @@ def make_trace_fn(scene, cfg, resolution):
         gb_position = origin + isect["t"][..., None] * direction
         gb_normal = isect["normal"]
         gb_geom = isect["geom_id"]
-        gb_albedo = albedo_of(ds, isect["mat_id"], isect["uv"])
+        gb_albedo = albedo_from(ds, read_mat(ds, isect["mat_id"]),
+                                isect["uv"])
         gb_ialbedo = jnp.ones((n, 3))
 
         active = isect["hit"]
@@ -247,7 +336,8 @@ def make_trace_fn(scene, cfg, resolution):
              isect) = carry
             seed = init_rand(lane, jnp.uint32(frame) + depth.astype(jnp.uint32))
             mat = isect["mat_id"]
-            emitt = ds.mat_emittance[mat]
+            mv = read_mat(ds, mat)
+            emitt = mv["emit"]
             emissive = emitt > 0.0
 
             # emissive hit terminates; skipped for NEE'd diffuse paths
@@ -257,19 +347,19 @@ def make_trace_fn(scene, cfg, resolution):
                 add_emit = add_emit & ~diffuse_flag
             radiance = radiance + jnp.where(
                 add_emit[..., None],
-                throughput * ds.mat_color[mat] * emitt[..., None], 0.0)
+                throughput * mv["color"] * emitt[..., None], 0.0)
             active = active & ~emissive
 
             ipos = origin + isect["t"][..., None] * direction
             inormal = isect["normal"]
-            m_refl = ds.mat_reflective[mat]
-            m_refr = ds.mat_refractive[mat]
+            m_refl = mv["refl"]
+            m_refr = mv["refr"]
             mat_is_diffuse = (m_refl < 1e-6) & (m_refr < 1e-6)
 
             # throughput *= albedo; sepcolor skips the first-hit albedo so
             # SVGF can remodulate it after filtering (pathtrace.cu:343-355;
             # the reference's glm::clamp there discards its result — no-op)
-            alb = albedo_of(ds, mat, isect["uv"])
+            alb = albedo_from(ds, mv, isect["uv"])
             apply_alb = active
             if cfg.sep_color and cfg.denoise_enable:
                 apply_alb = apply_alb & (depth > 1)
@@ -283,13 +373,12 @@ def make_trace_fn(scene, cfg, resolution):
                 seed, s_dir, s_dist = bsdf.sample_shadow_ray(
                     seed, s_origin, ds.geom_translation[light_geom],
                     params["light_radius"], nee)
-                sh = intersect(ds, s_origin, s_dir)
-                sh_emit = ds.mat_emittance[sh["mat_id"]]
-                lit = nee & (sh["geom_id"] == light_geom) & (sh_emit > 0.0)
+                lit = nee & light_visible(ds, s_origin, s_dir)
+                if not light_emissive:
+                    lit = jnp.zeros_like(lit)
                 lambert = jnp.maximum(0.0, jnp.sum(s_dir * inormal, axis=-1))
                 intensity = params["shadow_intensity"] / (s_dist * s_dist)
-                contrib = (throughput * sh_emit[..., None]
-                           * ds.mat_color[sh["mat_id"]]
+                contrib = (throughput * jnp.asarray(light_emit_color)
                            * (intensity * lambert)[..., None])
                 radiance = radiance + jnp.where(lit[..., None], contrib, 0.0)
 
@@ -300,7 +389,7 @@ def make_trace_fn(scene, cfg, resolution):
                 seed, origin, direction, throughput, became_diffuse, _ = (
                     bsdf.scatter_ray(seed, direction, throughput, ipos,
                                      inormal, m_refl, m_refr,
-                                     ds.mat_ior[mat], ds.mat_spec_color[mat],
+                                     mv["ior"], mv["spec_color"],
                                      active))
                 diffuse_flag = diffuse_flag | became_diffuse
                 nxt = intersect(ds, origin, direction)

@@ -32,7 +32,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 STRIP = 64   # output rows per grid step
-MAX_LEVEL_HALO = 2 * (1 << 7) + 1   # supports atrous levels <= 7
+
+
+def _halo(level: int) -> int:
+    """Row halo for a level: 2*step for the taps + 1 for the Gaussian,
+    rounded up to the 8-sublane tiling Mosaic requires of slice shapes."""
+    return -(-(2 * (1 << level) + 1) // 8) * 8
 
 # 5x5 B3-spline kernel weights (denoise.cu:82-86)
 _H5 = np.asarray([1/256, 1/64, 3/128, 1/64, 1/256,
@@ -49,20 +54,20 @@ _PX, _PY, _PZ, _NX, _NY, _NZ, _AR, _AG, _AB = range(9)
 
 
 def _col_shift(img, dx: int):
-    """out[:, x] = img[:, x+dx] with zero fill; static dx."""
+    """out[:, x] = img[:, x+dx], CIRCULAR (tpu.roll — Mosaic can't concat
+    at unaligned lane offsets). Wrapped columns land exactly where the
+    caller's in-bounds masks zero the tap weight, so they never leak."""
     if dx == 0:
         return img
-    z = jnp.zeros_like(img)
-    if dx > 0:
-        return jnp.concatenate([img[:, dx:], z[:, :dx]], axis=1)
-    return jnp.concatenate([z[:, dx:], img[:, :dx]], axis=1)
+    wp = img.shape[1]
+    return pltpu.roll(img, shift=(-dx) % wp, axis=1)
 
 
 def _kernel(dyn_hbm, stat_hbm, sig_ref, out_c, out_v, dbuf, sbuf, sems,
             *, level: int, h: int, w: int, wp: int, is_last: bool,
             blur_variance: bool, add_color: bool):
     step = 1 << level
-    halo = 2 * step + 1
+    halo = _halo(level)
     rows = STRIP + 2 * halo
     i = pl.program_id(0)
 
@@ -76,11 +81,11 @@ def _kernel(dyn_hbm, stat_hbm, sig_ref, out_c, out_v, dbuf, sbuf, sems,
     cp_s.wait()
 
     def dyn(p, dy=0, dx=0):
-        sl = jax.lax.dynamic_slice_in_dim(dbuf[p], halo + dy, STRIP, axis=0)
+        sl = dbuf[p, halo + dy: halo + dy + STRIP, :]   # static ref slice
         return _col_shift(sl, dx)
 
     def stat(p, dy=0, dx=0):
-        sl = jax.lax.dynamic_slice_in_dim(sbuf[p], halo + dy, STRIP, axis=0)
+        sl = sbuf[p, halo + dy: halo + dy + STRIP, :]
         return _col_shift(sl, dx)
 
     # global coords of this strip's output pixels (validity masks)
@@ -185,7 +190,7 @@ def pack_static_planes(gbuffer, max_level: int):
         gbuffer["normal"][..., 2],
         alb[..., 0], alb[..., 1], alb[..., 2],
     ])
-    halo = 2 * (1 << max_level) + 1
+    halo = _halo(max_level)
     wp = -(-w // 128) * 128
     hp = -(-h // STRIP) * STRIP
     return _pad_planes(planes, halo, hp, h, w, wp), halo
@@ -198,8 +203,7 @@ def atrous_level_pallas(color, variance, static_planes, static_halo: int,
     """One fused à-trous level. static_planes from pack_static_planes.
     Returns (color_out (H,W,3), variance_out (H,W))."""
     h, w = gbuffer_shape
-    step = 1 << level
-    halo = 2 * step + 1
+    halo = _halo(level)
     wp = -(-w // 128) * 128
     hp = -(-h // STRIP) * STRIP
 
@@ -241,6 +245,8 @@ def atrous_level_pallas(color, variance, static_planes, static_halo: int,
             pltpu.VMEM((9, rows, wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(dyn, stat, sig)
 

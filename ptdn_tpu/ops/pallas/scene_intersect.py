@@ -209,6 +209,22 @@ def _kernel(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
         return (jnp.concatenate([x for x, _ in new_rows], axis=0),
                 jnp.concatenate([x for _, x in new_rows], axis=0))
 
+    def chunk_cull(c, bt):
+        """Any ray in the block hits chunk c's AABB closer than its best."""
+        t0x = (cmin_r[c, 0] - ox) * idx
+        t1x = (cmax_r[c, 0] - ox) * idx
+        t0y = (cmin_r[c, 1] - oy) * idy
+        t1y = (cmax_r[c, 1] - oy) * idy
+        t0z = (cmin_r[c, 2] - oz) * idz
+        t1z = (cmax_r[c, 2] - oz) * idz
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                       jnp.minimum(t0y, t1y)),
+                           jnp.minimum(t0z, t1z))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                       jnp.maximum(t0y, t1y)),
+                           jnp.maximum(t0z, t1z))
+        return jnp.any((tmax >= 0.0) & (tmin <= tmax) & (tmin < bt))
+
     def chunk_body(c, best):
         bt, bi = best
 
@@ -225,25 +241,35 @@ def _kernel(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
             return jax.lax.fori_loop(0, TCHUNK // TGROUP, group, (bt, bi))
 
         if cull:
-            t0x = (cmin_r[c, 0] - ox) * idx
-            t1x = (cmax_r[c, 0] - ox) * idx
-            t0y = (cmin_r[c, 1] - oy) * idy
-            t1y = (cmax_r[c, 1] - oy) * idy
-            t0z = (cmin_r[c, 2] - oz) * idz
-            t1z = (cmax_r[c, 2] - oz) * idz
-            tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                           jnp.minimum(t0y, t1y)),
-                               jnp.minimum(t0z, t1z))
-            tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                           jnp.maximum(t0y, t1y)),
-                               jnp.maximum(t0z, t1z))
-            any_hit = jnp.any((tmax >= 0.0) & (tmin <= tmax) & (tmin < bt))
-            return jax.lax.cond(any_hit, hit_chunk, lambda b: b, (bt, bi))
+            return jax.lax.cond(chunk_cull(c, bt), hit_chunk, lambda b: b,
+                                (bt, bi))
         return hit_chunk((bt, bi))
 
     bt0 = jnp.full(shape, FLT_MAX, jnp.float32)
     bi0 = jnp.full(shape, FLT_MAX, jnp.float32)
-    bt, bi = jax.lax.fori_loop(0, n_chunks, chunk_body, (bt0, bi0))
+    if n_chunks <= 4:
+        # small scenes: unroll chunks statically and trim the group loop
+        # to the real triangle count (cornell: 38 tris -> 5 groups not 16)
+        best = (bt0, bi0)
+        for c in range(n_chunks):
+            tris_here = min(n_tris - c * TCHUNK, TCHUNK)
+            ngroups = -(-tris_here // TGROUP)
+
+            def hit_chunk_s(best, c=c, ngroups=ngroups):
+                def group(g, best2):
+                    sl = tri_r[pl.ds(c * TCHUNK + g * TGROUP, TGROUP), :]
+                    base_f = (c * TCHUNK + g * TGROUP).astype(jnp.float32)
+                    return moller_rows(sl, base_f, *best2)
+                return jax.lax.fori_loop(0, ngroups, group, best)
+
+            if cull:
+                best = jax.lax.cond(chunk_cull(c, best[0]),
+                                    hit_chunk_s, lambda b: b, best)
+            else:
+                best = hit_chunk_s(best)
+        bt, bi = best
+    else:
+        bt, bi = jax.lax.fori_loop(0, n_chunks, chunk_body, (bt0, bi0))
     found = bi < FLT_MAX
     # mask out padding triangles of the last chunk
     found = found & (bi < float(n_tris))
@@ -276,10 +302,13 @@ def scene_intersect_pallas(ds, geom_types, o, d, n_tris: int,
     ray_spec = pl.BlockSpec((RROWS, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    # geom matrices + chunk AABBs are read as SCALARS -> SMEM (a VMEM
+    # scalar read costs a vector load + lane extract; SMEM is ~1 cycle)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
         kern,
         grid=(nb // RROWS,),
-        in_specs=[ray_spec] * 6 + [full] * 6,
+        in_specs=[ray_spec] * 6 + [smem] * 3 + [full] + [smem] * 2,
         out_specs=[ray_spec] * 7,
         out_shape=[jax.ShapeDtypeStruct((nb, 128), jnp.float32)] * 7,
         interpret=interpret,

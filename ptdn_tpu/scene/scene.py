@@ -92,6 +92,15 @@ class DeviceScene:
     # Moller-Trumbore SoA for the Pallas scene-intersect kernel:
     # rows are (v0.xyz, e1.xyz, e2.xyz, 0,0,0) per triangle
     tri_moller: object          # (Tp, 12) f32
+    # packed per-triangle attributes for ONE lane-contiguous gather at hit
+    # resolution: v0,v1,v2 (9), n0,n1,n2 (9), uv0,uv1,uv2 (6), geom (1),
+    # mat (1), pad (6)
+    tri_attr: object            # (Tp, 32) f32
+    # packed material table for one-hot MXU lookups (XLA's fused gathers
+    # run on the scalar unit; a one-hot matmul is ~10x faster at this N):
+    # color (0:3), spec_color (3:6), spec_ex (6), refl (7), refr (8),
+    # ior (9), emittance (10), texid (11), pad (4)
+    mat_attr: object            # (M, 16) f32
 
 
 @dataclasses.dataclass
@@ -345,6 +354,23 @@ class Scene:
             tri_chunk_max=j(np.nan_to_num(cmax)),
             tri_moller=j(np.concatenate(
                 [v0, e1, e2, np.zeros_like(v0)], axis=1).astype(F)),
+            mat_attr=j(np.concatenate([
+                pad1([m.color for m in mats]),
+                pad1([m.specular_color for m in mats]),
+                pad1([m.specular_exponent for m in mats])[:, None],
+                pad1([m.has_reflective for m in mats])[:, None],
+                pad1([m.has_refractive for m in mats])[:, None],
+                pad1([m.index_of_refraction for m in mats])[:, None],
+                pad1([m.emittance for m in mats])[:, None],
+                pad1([m.texid for m in mats], np.int32).astype(F)[:, None],
+                np.zeros((max(len(mats), 1), 4), F)], axis=1).astype(F)),
+            tri_attr=j(np.concatenate([
+                tv.reshape(tp, 9),
+                pad_mult(self.tri_n).reshape(tp, 9),
+                pad_mult(self.tri_uv).reshape(tp, 6),
+                pad_mult(self.tri_geom, np.int32).astype(F)[:, None],
+                pad_mult(self.tri_mat, np.int32).astype(F)[:, None],
+                np.zeros((tp, 6), F)], axis=1).astype(F)),
         )
 
     # static metadata used to build traced programs
