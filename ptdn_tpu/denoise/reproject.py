@@ -50,6 +50,123 @@ def _reproj_valid(res, prev_x, prev_y, curr_geom, curr_normal,
     return inb & same_geom & (nd <= 0.1)
 
 
+def back_projection_packed(res, current_color, curr_gb, prev_gb,
+                           prev_viewmat, color_history, moment_history,
+                           history_length, color_alpha_min,
+                           moment_alpha_min):
+    """back_projection with all prev-frame reads packed into ONE row table
+    and the 3x3 fallback neighborhood reused for the 2x2 bilinear taps.
+
+    TPU gathers run on the scalar unit (~5 ms per 640k-index gather);
+    the naive formulation needs ~40 of them, this one exactly 9 — the
+    2x2 bilinear offsets {0,1}^2 are a subset of the 3x3 {-1,0,1}^2
+    fallback window (denoise.cu:219 vs :262-286)."""
+    import jax
+
+    w, h = res
+    pos = curr_gb["position"]
+    curr_geom = curr_gb["geom_id"]
+    curr_normal = curr_gb["normal"]
+    n_hist = history_length.astype(jnp.float32)
+    lum = luminance(current_color)
+
+    vs = pos @ prev_viewmat[:3, :3].T + prev_viewmat[:3, 3]
+    clipx = vs[..., 0] / vs[..., 2]
+    clipy = vs[..., 1] / vs[..., 2]
+    prevx = (-clipx * 0.5 + 0.5) * w - 0.5
+    prevy = (-clipy * 0.5 + 0.5) * h - 0.5
+    floorx = jnp.floor(prevx)
+    floory = jnp.floor(prevy)
+    fracx = prevx - floorx
+    fracy = prevy - floory
+    fx = floorx.astype(jnp.int32)
+    fy = floory.astype(jnp.int32)
+    base_valid = (floorx >= 0) & (floory >= 0) & (floorx < w) & (floory < h)
+
+    # packed prev table: color (0:3), moment (3:5), histlen (5),
+    # normal (6:9), geom (9)
+    pack = jnp.concatenate([
+        color_history.reshape(-1, 3),
+        moment_history.reshape(-1, 2),
+        history_length.reshape(-1, 1).astype(jnp.float32),
+        prev_gb["normal"].reshape(-1, 3),
+        prev_gb["geom_id"].reshape(-1, 1).astype(jnp.float32),
+    ], axis=1)
+    pack = jax.lax.optimization_barrier(pack)
+
+    taps = {}
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            qx = fx + dx
+            qy = fy + dy
+            inb = (qx >= 0) & (qx < w) & (qy >= 0) & (qy < h)
+            rows = (jnp.clip(qy, 0, h - 1) * w
+                    + jnp.clip(qx, 0, w - 1)).reshape(-1)
+            a = pack[rows].reshape(curr_geom.shape + (10,))
+            pg = a[..., 9]
+            same = (pg != -1) & (pg == curr_geom.astype(jnp.float32))
+            nd = jnp.linalg.norm(a[..., 6:9] - curr_normal, axis=-1)
+            taps[(dy, dx)] = (a, inb & same & (nd <= 0.1))
+
+    # ---- 2x2 bilinear: all four taps must be valid ----
+    quad = [((0, 0), (1 - fracx) * (1 - fracy)),
+            ((1, 0), fracx * (1 - fracy)),       # offset (dx=1, dy=0)
+            ((0, 1), (1 - fracx) * fracy),       # offset (dx=0, dy=1)
+            ((1, 1), fracx * fracy)]
+    all_valid = base_valid
+    for (dx, dy), _ in quad:
+        all_valid = all_valid & taps[(dy, dx)][1]
+    pc = jnp.zeros_like(current_color)
+    pm = jnp.zeros(curr_geom.shape + (2,))
+    ph = jnp.zeros(curr_geom.shape)
+    sumw = jnp.zeros(curr_geom.shape)
+    for (dx, dy), wgt in quad:
+        a, v = taps[(dy, dx)]
+        mw = jnp.where(all_valid & v, wgt, 0.0)
+        pc = pc + mw[..., None] * a[..., 0:3]
+        pm = pm + mw[..., None] * a[..., 3:5]
+        ph = ph + mw * a[..., 5]
+        sumw = sumw + mw
+    bilinear_ok = all_valid & (sumw >= 0.01)
+    safe = jnp.maximum(sumw, 1e-20)
+    pc_b, pm_b, ph_b = pc / safe[..., None], pm / safe[..., None], ph / safe
+
+    # ---- 3x3 uniform fallback ----
+    fc = jnp.zeros_like(current_color)
+    fm = jnp.zeros(curr_geom.shape + (2,))
+    fh = jnp.zeros(curr_geom.shape)
+    cnt = jnp.zeros(curr_geom.shape)
+    for (dy, dx), (a, v) in taps.items():
+        mv = jnp.where(v, 1.0, 0.0)
+        fc = fc + mv[..., None] * a[..., 0:3]
+        fm = fm + mv[..., None] * a[..., 3:5]
+        fh = fh + mv * a[..., 5]
+        cnt = cnt + mv
+    fallback_ok = ~bilinear_ok & (cnt > 0)
+    safe_cnt = jnp.maximum(cnt, 1e-20)
+    pc = jnp.where(bilinear_ok[..., None], pc_b, fc / safe_cnt[..., None])
+    pm = jnp.where(bilinear_ok[..., None], pm_b, fm / safe_cnt[..., None])
+    ph = jnp.where(bilinear_ok, ph_b, fh / safe_cnt)
+
+    valid = ((bilinear_ok | fallback_ok) & (history_length > 0)
+             & (curr_geom != -1))
+
+    color_alpha = jnp.maximum(1.0 / (n_hist + 1.0), color_alpha_min)
+    moment_alpha = jnp.maximum(1.0 / (n_hist + 1.0), moment_alpha_min)
+    acc_color = (current_color * color_alpha[..., None]
+                 + pc * (1.0 - color_alpha)[..., None])
+    m1 = moment_alpha * pm[..., 0] + (1.0 - moment_alpha) * lum
+    m2 = moment_alpha * pm[..., 1] + (1.0 - moment_alpha) * lum * lum
+    var = jnp.maximum(m2 - m1 * m1, 0.0)
+
+    color_acc = jnp.where(valid[..., None], acc_color, current_color)
+    moment_acc = jnp.where(valid[..., None], jnp.stack([m1, m2], axis=-1),
+                           jnp.stack([lum, lum * lum], axis=-1))
+    variance = jnp.where(valid, var, 100.0)
+    history_update = jnp.where(valid, ph.astype(jnp.int32) + 1, 1)
+    return variance, color_acc, moment_acc, history_update
+
+
 def back_projection(res, current_color, curr_gb, prev_gb, prev_viewmat,
                     color_history, moment_history, history_length,
                     color_alpha_min, moment_alpha_min):

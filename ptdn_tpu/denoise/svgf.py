@@ -53,7 +53,11 @@ def make_denoise_fn(cfg, resolution):
         }
         # temporal off forces alpha = 1.0 (denoise.cu:360-361)
         if cfg.temporal_enable:
-            variance, color_acc, moment_acc, hist_up = back_projection(
+            from ptdn_tpu.denoise.reproject import back_projection_packed
+
+            bp = (back_projection_packed if cfg.backend == "pallas"
+                  else back_projection)
+            variance, color_acc, moment_acc, hist_up = bp(
                 (w, h), raw_color, gbuffer, prev_gb, state["prev_view"],
                 state["color_history"], state["moment_history"],
                 state["history_length"],

@@ -169,3 +169,35 @@ def test_svgf_spatial_stub_variance():
     raw = jnp.full((H, W, 3), 0.5, jnp.float32)
     out, st = den(state, raw, gb, jnp.eye(4), cfg.traced_params())
     np.testing.assert_allclose(np.asarray(out), 100.0)  # 10.0/0.1
+
+
+def test_backprojection_packed_parity():
+    """The 9-gather packed reprojection must match the reference-shaped
+    implementation exactly."""
+    from ptdn_tpu.denoise.reproject import back_projection_packed
+
+    rng = np.random.default_rng(5)
+    h = w = 24
+    gb_c = {
+        "position": jnp.asarray(rng.normal(size=(h, w, 3)).astype(np.float32) * 3),
+        "normal": jnp.asarray(rng.normal(size=(h, w, 3)).astype(np.float32)),
+        "geom_id": jnp.asarray(rng.integers(-1, 3, size=(h, w)).astype(np.int32)),
+    }
+    gb_p = {
+        "position": jnp.asarray(rng.normal(size=(h, w, 3)).astype(np.float32) * 3),
+        "normal": jnp.asarray(gb_c["normal"] + 0.05 * rng.normal(size=(h, w, 3)).astype(np.float32)),
+        "geom_id": jnp.asarray(rng.integers(-1, 3, size=(h, w)).astype(np.int32)),
+    }
+    vm = np.eye(4, dtype=np.float32)
+    vm[2, 2] = -1.0
+    color = jnp.asarray(rng.uniform(size=(h, w, 3)).astype(np.float32))
+    ch = jnp.asarray(rng.uniform(size=(h, w, 3)).astype(np.float32))
+    mh = jnp.asarray(rng.uniform(size=(h, w, 2)).astype(np.float32))
+    hl = jnp.asarray(rng.integers(0, 6, size=(h, w)).astype(np.int32))
+    args = ((w, h), color, gb_c, gb_p, jnp.asarray(vm), ch, mh, hl,
+            jnp.float32(0.2), jnp.float32(0.2))
+    a = back_projection(*args)
+    b = back_projection_packed(*args)
+    for x, y, name in zip(a, b, ["var", "color", "moment", "hist"]):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5,
+                                   err_msg=name)
