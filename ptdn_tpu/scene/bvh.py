@@ -206,14 +206,45 @@ class _Builder:
         ), np.asarray(self.order, np.int64)
 
 
-def build_bvh(tri_min: np.ndarray, tri_max: np.ndarray):
+def build_bvh_native(tri_min: np.ndarray, tri_max: np.ndarray):
+    """Native C++ builder (ptdn_tpu/native/bvh_builder.cpp) — identical
+    output to the NumPy builder; returns None if no compiler/library."""
+    from ptdn_tpu.native import get_library
+
+    lib = get_library()
+    if lib is None:
+        return None
+    n = int(tri_min.shape[0])
+    tri_min = np.ascontiguousarray(tri_min, np.float32)
+    tri_max = np.ascontiguousarray(tri_max, np.float32)
+    cap = 2 * n
+    bmin = np.empty((cap, 3), np.float32)
+    bmax = np.empty((cap, 3), np.float32)
+    cnt = np.empty(cap, np.int32)
+    ax = np.empty(cap, np.int32)
+    off = np.empty(cap, np.int32)
+    right = np.empty(cap, np.int32)
+    order = np.empty(n, np.int64)
+    nn = lib.ptdn_build_bvh(tri_min, tri_max, n, bmin, bmax, cnt, ax, off,
+                            right, order)
+    return FlatBVH(bounds_min=bmin[:nn].copy(), bounds_max=bmax[:nn].copy(),
+                   prim_count=cnt[:nn].copy(), axis=ax[:nn].copy(),
+                   prim_offset=off[:nn].copy(),
+                   right_child=right[:nn].copy()), order
+
+
+def build_bvh(tri_min: np.ndarray, tri_max: np.ndarray, native: bool = True):
     """Build the global BVH.
 
     Returns (FlatBVH, order) where `order` maps new (leaf-contiguous)
     triangle position -> original triangle index, i.e. the tris.swap()
-    reordering of bvhtree.cpp:173.
+    reordering of bvhtree.cpp:173. Uses the C++ builder when available.
     """
     n = int(tri_min.shape[0])
+    if native and n > 0:
+        out = build_bvh_native(tri_min, tri_max)
+        if out is not None:
+            return out
     if n == 0:
         empty = FlatBVH(*(np.zeros((0, 3), np.float32),) * 2,
                         prim_count=np.zeros(0, np.int32),

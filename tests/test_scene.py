@@ -133,3 +133,31 @@ def test_device_scene_upload(cornell_scene):
     flat, treedef = jax.tree_util.tree_flatten(ds)
     ds2 = jax.tree_util.tree_unflatten(treedef, flat)
     assert type(ds2) is type(ds)
+
+
+def test_native_bvh_matches_python():
+    """The C++ builder must produce byte-identical trees to the NumPy one."""
+    from ptdn_tpu.native import get_library
+    from ptdn_tpu.scene.bvh import build_bvh, build_bvh_native
+    from ptdn_tpu.scene.objloader import load_obj
+    from ptdn_tpu.scene.scene import Scene as _S
+
+    if get_library() is None:
+        pytest.skip("no C++ toolchain")
+    rng = np.random.default_rng(7)
+    for case in range(3):
+        n = [1, 37, 4000][case]
+        c = rng.uniform(-10, 10, size=(n, 3)).astype(np.float32)
+        e = rng.uniform(0.01, 1.0, size=(n, 3)).astype(np.float32)
+        bmin, bmax = c - e, c + e
+        py_bvh, py_order = build_bvh(bmin, bmax, native=False)
+        nat = build_bvh_native(bmin, bmax)
+        assert nat is not None
+        nat_bvh, nat_order = nat
+        assert nat_bvh.n_nodes == py_bvh.n_nodes
+        np.testing.assert_array_equal(nat_order, py_order)
+        np.testing.assert_array_equal(nat_bvh.prim_count, py_bvh.prim_count)
+        np.testing.assert_array_equal(nat_bvh.prim_offset, py_bvh.prim_offset)
+        np.testing.assert_array_equal(nat_bvh.right_child, py_bvh.right_child)
+        np.testing.assert_allclose(nat_bvh.bounds_min, py_bvh.bounds_min)
+        np.testing.assert_allclose(nat_bvh.bounds_max, py_bvh.bounds_max)
