@@ -27,4 +27,11 @@ Reference parity: device math replicates /root/reference's behavior
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Geometry correctness requires full-f32 matmuls: XLA TPU's DEFAULT matmul
+# precision runs f32 dots through bf16 passes, which skews ray/transform
+# math by ~1e-2 relative and corrupts one-hot integer table lookups.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from ptdn_tpu.utils.config import RenderConfig  # noqa: F401
