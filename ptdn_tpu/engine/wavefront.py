@@ -286,6 +286,23 @@ def make_light_visibility(scene, cfg, light_geom: int = 0):
     return visible
 
 
+def _static_mats(scene):
+    """Per-material constants baked into the shade kernel."""
+    ms = scene.materials
+    return {
+        "emit": tuple(float(m.emittance) for m in ms),
+        "refl": tuple(float(m.has_reflective) for m in ms),
+        "refr": tuple(float(m.has_refractive) for m in ms),
+        "ior": tuple(float(m.index_of_refraction) for m in ms),
+        "spec_r": tuple(float(m.specular_color[0]) for m in ms),
+        "spec_g": tuple(float(m.specular_color[1]) for m in ms),
+        "spec_b": tuple(float(m.specular_color[2]) for m in ms),
+        "col_r": tuple(float(m.color[0]) for m in ms),
+        "col_g": tuple(float(m.color[1]) for m in ms),
+        "col_b": tuple(float(m.color[2]) for m in ms),
+    }
+
+
 def make_trace_fn(scene, cfg, resolution):
     """Build trace(ds, cam, params, frame_u32) -> (radiance (N,3), gbuffer).
 
@@ -328,6 +345,90 @@ def make_trace_fn(scene, cfg, resolution):
         gb_ialbedo = jnp.ones((n, 3))
 
         active = isect["hit"]
+
+        def bounce_pallas(carry, depth):
+            """Bounce body with the fused shade kernel (pallas backend)."""
+            from ptdn_tpu.ops.pallas import shade as SH
+
+            (origin, direction, throughput, radiance, diffuse_flag, active,
+             isect) = carry
+            mv = read_mat(ds, isect["mat_id"])
+            alb = albedo_from(ds, mv, isect["uv"])
+
+            nb = n // 128
+
+            def plane(x):
+                return x.reshape(nb, 128)
+
+            planes = jnp.stack([
+                plane(origin[:, 0]), plane(origin[:, 1]), plane(origin[:, 2]),
+                plane(direction[:, 0]), plane(direction[:, 1]),
+                plane(direction[:, 2]),
+                plane(isect["t"]),
+                plane(isect["normal"][:, 0]), plane(isect["normal"][:, 1]),
+                plane(isect["normal"][:, 2]),
+                plane(alb[:, 0]), plane(alb[:, 1]), plane(alb[:, 2]),
+                plane(throughput[:, 0]), plane(throughput[:, 1]),
+                plane(throughput[:, 2]),
+                plane(radiance[:, 0]), plane(radiance[:, 1]),
+                plane(radiance[:, 2]),
+                plane(isect["mat_id"].astype(jnp.float32)),
+                plane(active.astype(jnp.float32)),
+                plane(diffuse_flag.astype(jnp.float32)),
+            ])
+            alb_skip = jnp.where(
+                (depth == 1) if (cfg.sep_color and cfg.denoise_enable)
+                else jnp.bool_(False), 1.0, 0.0)
+            pv = jnp.concatenate([
+                ds.geom_translation[light_geom],
+                jnp.stack([params["light_radius"],
+                           params["shadow_intensity"], alb_skip,
+                           jnp.float32(0), jnp.float32(0)])])
+            fd = (jnp.uint32(frame) + depth.astype(jnp.uint32)).reshape(())
+            out = SH.shade_bounce_pallas(
+                planes, pv, fd[None], _static_mats(scene), cfg.shadow_ray,
+                cfg.reduce_var, interpret=_pallas_interpret())
+
+            def up(k):
+                return out[k].reshape(n)
+
+            radiance = jnp.stack([up(SH.O_RR), up(SH.O_RG), up(SH.O_RB)],
+                                 axis=-1)
+            spawn = jnp.stack([up(SH.O_SPX), up(SH.O_SPY), up(SH.O_SPZ)],
+                              axis=-1)
+            new_dir = jnp.stack([up(SH.O_DX), up(SH.O_DY), up(SH.O_DZ)],
+                                axis=-1)
+            throughput = jnp.stack([up(SH.O_TR), up(SH.O_TG), up(SH.O_TB)],
+                                   axis=-1)
+            diffuse_flag = up(SH.O_DIF) > 0.5
+            active = up(SH.O_ACT) > 0.5
+
+            if cfg.shadow_ray:
+                sdir = jnp.stack([up(SH.O_SDX), up(SH.O_SDY), up(SH.O_SDZ)],
+                                 axis=-1)
+                nee = up(SH.O_NEE) > 0.5
+                lit = nee & light_visible(ds, spawn, sdir)
+                if not light_emissive:
+                    lit = jnp.zeros_like(lit)
+                contrib = (jnp.stack([up(SH.O_CR), up(SH.O_CG), up(SH.O_CB)],
+                                     axis=-1)
+                           * jnp.asarray(light_emit_color))
+                radiance = radiance + jnp.where(lit[..., None], contrib, 0.0)
+
+            def do_next(args):
+                spawn, new_dir, active, isect = args
+                nxt = intersect(ds, spawn, new_dir)
+                return spawn, new_dir, active & nxt["hit"], nxt
+
+            def no_next(args):
+                _, _, active, isect = args
+                return origin, direction, active, isect
+
+            origin2, direction2, active, isect = jax.lax.cond(
+                depth < cfg.trace_depth, do_next, no_next,
+                (spawn, new_dir, active, isect))
+            return (origin2, direction2, throughput, radiance, diffuse_flag,
+                    active, isect), None
 
         def bounce(carry, depth):
             """One reference bounce-loop iteration (pathtrace.cu:325-394).
@@ -410,12 +511,15 @@ def make_trace_fn(scene, cfg, resolution):
 
         carry = (origin, direction, throughput, radiance, diffuse_flag,
                  active, isect)
+        body = (bounce_pallas
+                if cfg.backend == "pallas" and n % (8 * 128) == 0
+                else bounce)
         if cfg.trace_depth == 1:
-            carry, _ = bounce(carry, jnp.int32(1))
+            carry, _ = body(carry, jnp.int32(1))
         else:
             carry, _ = jax.lax.scan(
-                bounce, carry, jnp.arange(1, cfg.trace_depth + 1,
-                                          dtype=jnp.int32))
+                body, carry, jnp.arange(1, cfg.trace_depth + 1,
+                                        dtype=jnp.int32))
         radiance = carry[3]
 
         gbuffer = {
