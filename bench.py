@@ -22,29 +22,31 @@ TARGET_MS = 16.0
 
 
 def run_config(scene_path, resolution, frames, warmup, cfg, automate=False):
-    import jax
-
     from ptdn_tpu.app.automate import CameraAutomation
     from ptdn_tpu.engine import Renderer
     from ptdn_tpu.scene import Scene
+    from ptdn_tpu.utils.timing import fetch_scalar
 
     scene = Scene(scene_path)
     r = Renderer(scene, cfg, resolution=resolution)
     auto = CameraAutomation(cfg)
 
-    for _ in range(warmup):
-        if auto.step(r.camera):
-            r.cam_changed = True
-        left, right = r.render_frame()
-    jax.block_until_ready(right)
+    def run(n):
+        right = None
+        t0 = time.time()
+        for _ in range(n):
+            if auto.step(r.camera):
+                r.cam_changed = True
+            left, right = r.render_frame()
+        # fetch one element: a reliable completion barrier even through
+        # remote device tunnels (see utils/timing.py)
+        fetch_scalar(right)
+        return time.time() - t0, right
 
-    t0 = time.time()
-    for _ in range(frames):
-        if auto.step(r.camera):
-            r.cam_changed = True
-        left, right = r.render_frame()
-    jax.block_until_ready(right)
-    dt = (time.time() - t0) / frames
+    run(max(warmup, 2))
+    t1, _ = run(max(frames // 4, 1))
+    t2, right = run(frames)
+    dt = (t2 - t1) / (frames - max(frames // 4, 1))
     return dt * 1000.0, np.asarray(right)
 
 
@@ -60,7 +62,7 @@ def main():
     from ptdn_tpu.utils.config import RenderConfig
 
     svgf = dict(denoise_enable=True, temporal_enable=True,
-                spatial_enable=True, atrous_nlevel=5)
+                spatial_enable=True, atrous_nlevel=5, backend="pallas")
 
     # headline: cornell 800x800 1spp 8 bounces + 5-iter SVGF
     cfg = RenderConfig(trace_depth=8, **svgf)
