@@ -1,0 +1,157 @@
+"""Interactive viewer — the reference's GLFW/ImGui control surface
+(reference src/preview.cpp, src/main.cpp callbacks) as a terminal REPL
+that works headless: every keystroke command maps to the same camera /
+pipeline mutation, frames render continuously, and the current
+side-by-side view (left raw | right denoised, the PBO layout) is written
+to a PNG after each command (and displayed via matplotlib when a GUI is
+available).
+
+Commands (reference bindings in parentheses):
+  , / .        orbit phi -/+ (main.cpp:249-256)
+  [ / ]        orbit theta -/+        (mouse-drag equivalent)
+  + / -        dolly in/out           (scroll equivalent)
+  w a s d      pan look-at            (arrow keys, main.cpp:233-247)
+  r            reset camera           (R)
+  D T F        toggle denoise / temporal / spatial (hotkeys D/T/F)
+  v            cycle debug view (color -> history -> variance)
+  depth N, sigma_l X, ... set any config field
+  step         render one frame while paused (Step button)
+  run / pause  toggle continuous rendering (Run checkbox)
+  save         saveImage() naming + flip (S key, main.cpp:131-152)
+  q            save + quit (Esc)
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+class Viewer:
+    def __init__(self, renderer, out_path: str = "viewer.png",
+                 frames_per_command: int = 8):
+        self.r = renderer
+        self.out_path = out_path
+        self.frames_per_command = frames_per_command
+        self.running = True
+        self._mpl = None
+
+    def _render(self, n=None):
+        left = right = None
+        for _ in range(n or self.frames_per_command):
+            left, right = self.r.render_frame()
+        return np.asarray(left), np.asarray(right)
+
+    def _show(self, left, right):
+        from ptdn_tpu.utils.image_io import save_png
+
+        side = np.concatenate([left, right], axis=1)
+        save_png(self.out_path, side)
+        if self._mpl is None:
+            try:
+                import matplotlib
+                import matplotlib.pyplot as plt
+
+                if matplotlib.get_backend().lower() != "agg":
+                    self._mpl = plt
+            except Exception:
+                self._mpl = False
+        if self._mpl:
+            self._mpl.clf()
+            self._mpl.imshow(np.clip(side, 0, 1))
+            self._mpl.pause(0.01)
+
+    def handle(self, cmd: str) -> bool:
+        """Apply one command; returns False to quit."""
+        from ptdn_tpu.utils.image_io import save_image_like_reference
+
+        r = self.r
+        tok = cmd.strip().split()
+        if not tok:
+            return True
+        c = tok[0]
+        if c == ",":
+            r.orbit(dphi=-0.1)
+        elif c == ".":
+            r.orbit(dphi=0.1)
+        elif c == "[":
+            r.orbit(dtheta=-0.1)
+        elif c == "]":
+            r.orbit(dtheta=0.1)
+        elif c == "+":
+            r.dolly(-0.5)
+        elif c == "-":
+            r.dolly(0.5)
+        elif c in ("w", "a", "s", "d"):
+            fr = r.camera.frame()
+            delta = {"w": fr.view * 0.5, "s": -fr.view * 0.5,
+                     "a": -fr.right * 0.5, "d": fr.right * 0.5}[c]
+            r.pan(delta)
+        elif c == "r":
+            r.reset_camera()
+        elif c in ("D", "T", "F"):
+            field = {"D": "denoise_enable", "T": "temporal_enable",
+                     "F": "spatial_enable"}[c]
+            r.set_config(r.cfg.replace(**{field: not getattr(r.cfg, field)}))
+        elif c == "v":
+            r.set_config(r.cfg.replace(
+                right_view_option=(r.cfg.right_view_option + 1) % 3))
+        elif c == "run":
+            self.running = True
+        elif c == "pause":
+            self.running = False
+        elif c == "step":
+            self._show(*self._render(1))
+            return True
+        elif c == "save":
+            _, right = self._render(1)
+            save_image_like_reference(right, r.scene.image_name, r.frame)
+        elif c == "q":
+            _, right = self._render(1)
+            save_image_like_reference(right, r.scene.image_name, r.frame)
+            return False
+        elif len(tok) == 2 and hasattr(r.cfg, c):
+            val = type(getattr(r.cfg, c))(
+                float(tok[1]) if "." in tok[1] else int(tok[1]))
+            r.set_config(r.cfg.replace(**{c: val}))
+        else:
+            print(f"? unknown command {cmd!r}", file=sys.stderr)
+            return True
+        if self.running:
+            self._show(*self._render())
+        return True
+
+    def loop(self):
+        self._show(*self._render())
+        print(f"viewer: writing {self.out_path}; type commands "
+              f"(q to quit, see module docstring)", file=sys.stderr)
+        for line in sys.stdin:
+            if not self.handle(line):
+                break
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("scene")
+    ap.add_argument("--out", default="viewer.png")
+    ap.add_argument("--depth", type=int, default=4)
+    ap.add_argument("--denoise", action="store_true")
+    args = ap.parse_args(argv)
+
+    from ptdn_tpu.engine import Renderer
+    from ptdn_tpu.scene import Scene
+    from ptdn_tpu.utils.config import RenderConfig
+
+    cfg = RenderConfig(backend="pallas", trace_depth=args.depth,
+                       denoise_enable=args.denoise,
+                       temporal_enable=args.denoise,
+                       spatial_enable=args.denoise)
+    Viewer(Renderer(Scene(args.scene), cfg), out_path=args.out).loop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
