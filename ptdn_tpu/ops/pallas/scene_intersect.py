@@ -245,7 +245,10 @@ def _kernel(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
                                 (bt, bi))
         return hit_chunk((bt, bi))
 
-    bt0 = jnp.full(shape, FLT_MAX, jnp.float32)
+    # seed the running best with the analytic winner's t: mesh hits beyond
+    # it lose the merge anyway (strict <), so chunk culling can reject
+    # every chunk that starts behind the closest wall/floor hit.
+    bt0 = jnp.where(ga >= 0.0, ta, FLT_MAX)
     bi0 = jnp.full(shape, FLT_MAX, jnp.float32)
     if n_chunks <= 4:
         # small scenes: unroll chunks statically and trim the group loop
