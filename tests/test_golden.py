@@ -1,0 +1,52 @@
+"""Golden-image regression: both backends must reproduce the committed
+reference renders (SURVEY.md §4's 'golden-image regression per scene
+config'). Goldens were generated on the CPU XLA oracle; the pallas
+backend is allowed float-level noise plus a tiny budget of tie-flip
+pixels at geometry boundaries."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ptdn_tpu.engine import Renderer
+from ptdn_tpu.scene import Scene
+from ptdn_tpu.utils.config import RenderConfig
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+CONFIGS = {
+    "cornell_raw_d3": dict(denoise_enable=False, trace_depth=3),
+    "cornell_svgf_d3": dict(denoise_enable=True, temporal_enable=True,
+                            spatial_enable=True, trace_depth=3,
+                            atrous_nlevel=3),
+}
+
+
+def _render(backend, cfgkw):
+    s = Scene("/root/reference/scenes/cornell.txt")
+    r = Renderer(s, RenderConfig(backend=backend, **cfgkw),
+                 resolution=(64, 64))
+    left = right = None
+    for _ in range(3):
+        left, right = r.render_frame()
+    return np.asarray(left), np.asarray(right)
+
+
+@pytest.mark.parametrize("name", sorted(CONFIGS))
+def test_golden_xla(name):
+    g = np.load(os.path.join(GOLDEN, f"{name}.npz"))
+    left, right = _render("xla", CONFIGS[name])
+    np.testing.assert_allclose(left, g["left"], atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(right, g["right"], atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("name", sorted(CONFIGS))
+def test_golden_pallas(name):
+    g = np.load(os.path.join(GOLDEN, f"{name}.npz"))
+    left, right = _render("pallas", CONFIGS[name])
+    for img, ref in [(left, g["left"]), (right, g["right"])]:
+        diff = np.abs(img - ref).max(axis=-1)
+        # almost all pixels float-identical; boundary tie flips bounded
+        assert (diff > 1e-3).mean() < 0.01
+        assert np.sqrt(((img - ref) ** 2).mean()) < 0.02
