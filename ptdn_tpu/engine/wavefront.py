@@ -40,15 +40,21 @@ BRUTE_FORCE_MAX_TRIS = 2048
 
 def sample_texture(ds, texid, uv):
     """Nearest-neighbor texel fetch with V flip (Texture::getColor,
-    sceneStructs.h:208-221). texid must be pre-clamped >= 0."""
+    sceneStructs.h:208-221). texid must be pre-clamped >= 0.
+
+    Gathers through the flattened atlas with ONE index per lane — XLA TPU
+    gathers cost per-index scalar work, so a single flat index is ~2x
+    faster than a (texid, y, x) multi-dim gather."""
     wh = ds.tex_wh[texid]
     w = wh[..., 0].astype(jnp.float32)
     h = wh[..., 1].astype(jnp.float32)
     x = jnp.minimum(w * uv[..., 0], w - 1.0).astype(jnp.int32)
     y = jnp.minimum(h * (1.0 - uv[..., 1]), h - 1.0).astype(jnp.int32)
-    x = jnp.clip(x, 0, ds.tex_atlas.shape[2] - 1)
-    y = jnp.clip(y, 0, ds.tex_atlas.shape[1] - 1)
-    return ds.tex_atlas[texid, y, x] * COLORDIVIDOR
+    hm, wm = ds.tex_atlas.shape[1], ds.tex_atlas.shape[2]
+    x = jnp.clip(x, 0, wm - 1)
+    y = jnp.clip(y, 0, hm - 1)
+    flat = (texid * hm + y) * wm + x
+    return ds.tex_flat[flat, 0:3] * COLORDIVIDOR
 
 
 def albedo_of(ds, mat_id, uv):
@@ -347,13 +353,14 @@ def make_trace_fn(scene, cfg, resolution):
         active = isect["hit"]
 
         def bounce_pallas(carry, depth):
-            """Bounce body with the fused shade kernel (pallas backend)."""
+            """Bounce body with the fused shade kernel (pallas backend).
+            The carry caches the current hit's albedo (texture gathers are
+            the most expensive XLA op left; the primary hit's is shared
+            with the G-buffer)."""
             from ptdn_tpu.ops.pallas import shade as SH
 
             (origin, direction, throughput, radiance, diffuse_flag, active,
-             isect) = carry
-            mv = read_mat(ds, isect["mat_id"])
-            alb = albedo_from(ds, mv, isect["uv"])
+             isect, alb) = carry
 
             nb = n // 128
 
@@ -416,19 +423,21 @@ def make_trace_fn(scene, cfg, resolution):
                 radiance = radiance + jnp.where(lit[..., None], contrib, 0.0)
 
             def do_next(args):
-                spawn, new_dir, active, isect = args
+                spawn, new_dir, active, isect, alb = args
                 nxt = intersect(ds, spawn, new_dir)
-                return spawn, new_dir, active & nxt["hit"], nxt
+                nalb = albedo_from(ds, read_mat(ds, nxt["mat_id"]),
+                                   nxt["uv"])
+                return spawn, new_dir, active & nxt["hit"], nxt, nalb
 
             def no_next(args):
-                _, _, active, isect = args
-                return origin, direction, active, isect
+                _, _, active, isect, alb = args
+                return origin, direction, active, isect, alb
 
-            origin2, direction2, active, isect = jax.lax.cond(
+            origin2, direction2, active, isect, alb = jax.lax.cond(
                 depth < cfg.trace_depth, do_next, no_next,
-                (spawn, new_dir, active, isect))
+                (spawn, new_dir, active, isect, alb))
             return (origin2, direction2, throughput, radiance, diffuse_flag,
-                    active, isect), None
+                    active, isect, alb), None
 
         def bounce(carry, depth):
             """One reference bounce-loop iteration (pathtrace.cu:325-394).
@@ -509,11 +518,14 @@ def make_trace_fn(scene, cfg, resolution):
             return (origin, direction, throughput, radiance, diffuse_flag,
                     active, isect), None
 
-        carry = (origin, direction, throughput, radiance, diffuse_flag,
-                 active, isect)
-        body = (bounce_pallas
-                if cfg.backend == "pallas" and n % (8 * 128) == 0
-                else bounce)
+        use_pallas_bounce = cfg.backend == "pallas" and n % (8 * 128) == 0
+        if use_pallas_bounce:
+            carry = (origin, direction, throughput, radiance, diffuse_flag,
+                     active, isect, gb_albedo)
+        else:
+            carry = (origin, direction, throughput, radiance, diffuse_flag,
+                     active, isect)
+        body = bounce_pallas if use_pallas_bounce else bounce
         if cfg.trace_depth == 1:
             carry, _ = body(carry, jnp.int32(1))
         else:

@@ -80,6 +80,9 @@ class DeviceScene:
     mesh_bb_max: object         # (B, 3) f32
     # texture atlas (K textures padded to a common size)
     tex_atlas: object           # (K, Hmax, Wmax, 3) f32, raw 0..255 values
+    tex_flat: object            # (K*Hmax*Wmax, 4) f32 — flat rows for
+                                # single-index gathers (XLA TPU gathers are
+                                # per-index scalar-bound; fewer dims = faster)
     tex_wh: object              # (K, 2) i32 (w, h)
     # matmul-form triangle data for the Pallas/MXU intersector:
     # per 128-triangle chunk c and plane p in (n, u, v), tri_mm[c, p] is a
@@ -348,6 +351,9 @@ class Scene:
             mesh_bb_min=j(pad1(self.mesh_bb_min)),
             mesh_bb_max=j(pad1(self.mesh_bb_max)),
             tex_atlas=j(atlas),
+            tex_flat=j(np.concatenate(
+                [atlas.reshape(-1, 3),
+                 np.zeros((atlas.size // 3, 1), F)], axis=1)),
             tex_wh=j(wh),
             tri_mm=j(tri_mm),
             tri_chunk_min=j(np.nan_to_num(cmin)),
