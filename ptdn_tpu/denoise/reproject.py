@@ -167,6 +167,142 @@ def back_projection_packed(res, current_color, curr_gb, prev_gb,
     return variance, color_acc, moment_acc, history_update
 
 
+def back_projection_packed2(res, current_color, curr_gb, prev_gb,
+                            prev_viewmat, color_history, moment_history,
+                            history_length, color_alpha_min,
+                            moment_alpha_min):
+    """back_projection with prev-frame data packed per 2x2 PIXEL BLOCK,
+    so the whole 3x3 tap window (which always spans exactly 2x2 blocks)
+    needs only FOUR row gathers. TPU gathers cost per-index scalar work
+    (~2.4 ms per 640k indices), so 4 instead of 9 halves reprojection."""
+    import jax
+
+    w, h = res
+    hb, wb = h // 2, w // 2
+    pos = curr_gb["position"]
+    curr_geom = curr_gb["geom_id"]
+    curr_normal = curr_gb["normal"]
+    n_hist = history_length.astype(jnp.float32)
+    lum = luminance(current_color)
+
+    vs = pos @ prev_viewmat[:3, :3].T + prev_viewmat[:3, 3]
+    prevx = (-(vs[..., 0] / vs[..., 2]) * 0.5 + 0.5) * w - 0.5
+    prevy = (-(vs[..., 1] / vs[..., 2]) * 0.5 + 0.5) * h - 0.5
+    floorx = jnp.floor(prevx)
+    floory = jnp.floor(prevy)
+    fracx = prevx - floorx
+    fracy = prevy - floory
+    fx = floorx.astype(jnp.int32)
+    fy = floory.astype(jnp.int32)
+    base_valid = (floorx >= 0) & (floory >= 0) & (floorx < w) & (floory < h)
+
+    # pack per 2x2 block: slot s = (y&1)*2 + (x&1), 10 values per pixel
+    def pack2(x, c):
+        return x.reshape(hb, 2, wb, 2, c).transpose(0, 2, 1, 3, 4)
+
+    pix = jnp.concatenate([
+        color_history.reshape(h, w, 3),
+        moment_history.reshape(h, w, 2),
+        history_length.reshape(h, w, 1).astype(jnp.float32),
+        prev_gb["normal"].reshape(h, w, 3),
+        prev_gb["geom_id"].reshape(h, w, 1).astype(jnp.float32),
+    ], axis=-1)                                    # (H, W, 10)
+    table = pack2(pix, 10).reshape(hb * wb, 40)
+    table = jax.lax.optimization_barrier(table)
+
+    by0 = jnp.floor_divide(fy - 1, 2)
+    bx0 = jnp.floor_divide(fx - 1, 2)
+    blocks = {}
+    for a in (0, 1):
+        for b in (0, 1):
+            by = jnp.clip(by0 + a, 0, hb - 1)
+            bx = jnp.clip(bx0 + b, 0, wb - 1)
+            rows = (by * wb + bx).reshape(-1)
+            blocks[(a, b)] = table[rows].reshape(curr_geom.shape + (40,))
+
+    shape = curr_geom.shape
+    geo_f = curr_geom.astype(jnp.float32)
+    # bilinear tap validity flags v[dy][dx] for (dy,dx) in {0,1}^2
+    vbil = {k: jnp.zeros(shape, bool) for k in
+            [(0, 0), (1, 0), (0, 1), (1, 1)]}
+    slot_data = []
+    for a in (0, 1):
+        for b in (0, 1):
+            g = blocks[(a, b)]
+            for i in (0, 1):
+                for j in (0, 1):
+                    vals = g[..., (i * 2 + j) * 10:(i * 2 + j) * 10 + 10]
+                    gy = 2 * (by0 + a) + i
+                    gx = 2 * (bx0 + b) + j
+                    dy = gy - fy
+                    dx = gx - fx
+                    inb = (gx >= 0) & (gx < w) & (gy >= 0) & (gy < h)
+                    pg = vals[..., 9]
+                    same = (pg != -1) & (pg == geo_f)
+                    nd = jnp.linalg.norm(vals[..., 6:9] - curr_normal,
+                                         axis=-1)
+                    valid = inb & same & (nd <= 0.1)
+                    slot_data.append((vals, dy, dx, valid))
+                    for (ty, tx) in vbil:
+                        vbil[(ty, tx)] = vbil[(ty, tx)] | (
+                            (dy == ty) & (dx == tx) & valid)
+
+    all_valid = (base_valid & vbil[(0, 0)] & vbil[(1, 0)] & vbil[(0, 1)]
+                 & vbil[(1, 1)])
+
+    pc = jnp.zeros(shape + (3,))
+    pm = jnp.zeros(shape + (2,))
+    ph = jnp.zeros(shape)
+    sumw = jnp.zeros(shape)
+    fc = jnp.zeros(shape + (3,))
+    fm = jnp.zeros(shape + (2,))
+    fh = jnp.zeros(shape)
+    cnt = jnp.zeros(shape)
+    for vals, dy, dx, valid in slot_data:
+        # bilinear weight: nonzero only for (dy,dx) in {0,1}^2
+        wy = jnp.where(dy == 0, 1.0 - fracy, jnp.where(dy == 1, fracy, 0.0))
+        wx = jnp.where(dx == 0, 1.0 - fracx, jnp.where(dx == 1, fracx, 0.0))
+        bw = jnp.where(all_valid & valid, wy * wx, 0.0)
+        pc = pc + bw[..., None] * vals[..., 0:3]
+        pm = pm + bw[..., None] * vals[..., 3:5]
+        ph = ph + bw * vals[..., 5]
+        sumw = sumw + bw
+        # fallback: uniform over the valid 3x3 window
+        fb = jnp.where(valid & (jnp.abs(dy) <= 1) & (jnp.abs(dx) <= 1),
+                       1.0, 0.0)
+        fc = fc + fb[..., None] * vals[..., 0:3]
+        fm = fm + fb[..., None] * vals[..., 3:5]
+        fh = fh + fb * vals[..., 5]
+        cnt = cnt + fb
+
+    bilinear_ok = all_valid & (sumw >= 0.01)
+    safe = jnp.maximum(sumw, 1e-20)
+    safe_cnt = jnp.maximum(cnt, 1e-20)
+    fallback_ok = ~bilinear_ok & (cnt > 0)
+    pc = jnp.where(bilinear_ok[..., None], pc / safe[..., None],
+                   fc / safe_cnt[..., None])
+    pm = jnp.where(bilinear_ok[..., None], pm / safe[..., None],
+                   fm / safe_cnt[..., None])
+    ph = jnp.where(bilinear_ok, ph / safe, fh / safe_cnt)
+
+    valid = ((bilinear_ok | fallback_ok) & (history_length > 0)
+             & (curr_geom != -1))
+    color_alpha = jnp.maximum(1.0 / (n_hist + 1.0), color_alpha_min)
+    moment_alpha = jnp.maximum(1.0 / (n_hist + 1.0), moment_alpha_min)
+    acc_color = (current_color * color_alpha[..., None]
+                 + pc * (1.0 - color_alpha)[..., None])
+    m1 = moment_alpha * pm[..., 0] + (1.0 - moment_alpha) * lum
+    m2 = moment_alpha * pm[..., 1] + (1.0 - moment_alpha) * lum * lum
+    var = jnp.maximum(m2 - m1 * m1, 0.0)
+
+    color_acc = jnp.where(valid[..., None], acc_color, current_color)
+    moment_acc = jnp.where(valid[..., None], jnp.stack([m1, m2], axis=-1),
+                           jnp.stack([lum, lum * lum], axis=-1))
+    variance = jnp.where(valid, var, 100.0)
+    history_update = jnp.where(valid, ph.astype(jnp.int32) + 1, 1)
+    return variance, color_acc, moment_acc, history_update
+
+
 def back_projection(res, current_color, curr_gb, prev_gb, prev_viewmat,
                     color_history, moment_history, history_length,
                     color_alpha_min, moment_alpha_min):
