@@ -78,6 +78,10 @@ class DeviceScene:
     # per-mesh world AABBs (B)
     mesh_bb_min: object         # (B, 3) f32
     mesh_bb_max: object         # (B, 3) f32
+    # per-geom world AABBs (unit cube corners through the transform,
+    # slightly padded) for block-level analytic culling in the kernel
+    geom_bb_min: object         # (G, 3) f32
+    geom_bb_max: object         # (G, 3) f32
     # texture atlas (K textures padded to a common size)
     tex_atlas: object           # (K, Hmax, Wmax, 3) f32, raw 0..255 values
     tex_flat: object            # (K*Hmax*Wmax, 4) f32 — flat rows for
@@ -322,6 +326,15 @@ class Scene:
                 cmin[c] = 0.0
                 cmax[c] = 0.0
 
+        # per-geom world AABBs: unit cube corners through each transform
+        corners = np.array([[x, y, z, 1.0] for x in (-0.5, 0.5)
+                            for y in (-0.5, 0.5) for z in (-0.5, 0.5)], F)
+        gb_min, gb_max = [], []
+        for g in geoms:
+            wc = (corners @ g.transform.T)[:, :3]
+            gb_min.append(wc.min(axis=0) - 1e-3)
+            gb_max.append(wc.max(axis=0) + 1e-3)
+
         j = jnp.asarray
         bvh = self.bvh
         return DeviceScene(
@@ -350,6 +363,8 @@ class Scene:
             bvh_right=j(pad1(bvh.right_child, np.int32)),
             mesh_bb_min=j(pad1(self.mesh_bb_min)),
             mesh_bb_max=j(pad1(self.mesh_bb_max)),
+            geom_bb_min=j(pad1(gb_min)),
+            geom_bb_max=j(pad1(gb_max)),
             tex_atlas=j(atlas),
             tex_flat=j(np.concatenate(
                 [atlas.reshape(-1, 3),
