@@ -94,9 +94,12 @@ def make_mat_reader(cfg):
     return read
 
 
-def albedo_from(ds, mv, uv):
+def albedo_from(ds, mv, uv, show_texture: bool = True):
     """albedo_of given an already-read material view. Untextured lanes
-    sample texel (0,0): coherent indices speed the gather ~20%."""
+    sample texel (0,0): coherent indices speed the gather ~20%.
+    show_texture=False is the reference's SHOW_TEXTURE=0 compile flag."""
+    if not show_texture:
+        return mv["color"]
     texid = mv["texid"]
     textured = texid >= 0
     uv0 = jnp.where(textured[..., None], uv, 0.0)
@@ -348,7 +351,7 @@ def make_trace_fn(scene, cfg, resolution):
         gb_normal = isect["normal"]
         gb_geom = isect["geom_id"]
         gb_albedo = albedo_from(ds, read_mat(ds, isect["mat_id"]),
-                                isect["uv"])
+                                isect["uv"], cfg.show_texture)
         gb_ialbedo = jnp.ones((n, 3))
 
         active = isect["hit"]
@@ -360,7 +363,7 @@ def make_trace_fn(scene, cfg, resolution):
             (origin, direction, throughput, radiance, diffuse_flag, active,
              isect) = carry
             alb = albedo_from(ds, read_mat(ds, isect["mat_id"]),
-                              isect["uv"])
+                              isect["uv"], cfg.show_texture)
 
             nb = n // 128
 
@@ -467,7 +470,7 @@ def make_trace_fn(scene, cfg, resolution):
             # throughput *= albedo; sepcolor skips the first-hit albedo so
             # SVGF can remodulate it after filtering (pathtrace.cu:343-355;
             # the reference's glm::clamp there discards its result — no-op)
-            alb = albedo_from(ds, mv, isect["uv"])
+            alb = albedo_from(ds, mv, isect["uv"], cfg.show_texture)
             apply_alb = active
             if cfg.sep_color and cfg.denoise_enable:
                 apply_alb = apply_alb & (depth > 1)

@@ -30,6 +30,7 @@ class RenderConfig:
     shadow_intensity: float = 2.7   # ui_sintensity (traced)
     light_radius: float = 1.4       # ui_lightradius (traced)
     use_bvh: bool = True            # ui_usekdtree / USE_KDTREE
+    show_texture: bool = True       # SHOW_TEXTURE compile flag (sceneStructs.h:16)
 
     # -------- denoiser (main.cpp:50-62) --------
     denoise_enable: bool = False    # ui_denoise_enable
@@ -87,6 +88,7 @@ class RenderConfig:
         """Hashable key of the structural (re-jit) fields."""
         return (
             self.trace_depth, self.shadow_ray, self.reduce_var, self.use_bvh,
+            self.show_texture,
             self.denoise_enable, self.temporal_enable, self.spatial_enable,
             self.blur_variance, self.atrous_nlevel, self.history_level,
             self.sep_color, self.add_color, self.right_view_option,
