@@ -155,12 +155,7 @@ def make_intersector(scene, cfg):
         best_uv = jnp.zeros((n, 2))
 
         if has_mesh and mode != "none":
-            if mode == "pallas":
-                from ptdn_tpu.ops.pallas.intersect import mesh_intersect_pallas
-
-                mt, mu, mv, mi, mh = mesh_intersect_pallas(
-                    ds, o, d, n_tris, interpret=_pallas_interpret())
-            elif mode == "brute":
+            if mode == "brute":
                 mt, mu, mv, mi, mh = mesh_brute_force(ds, o, d, n_tris)
             else:
                 mt, mu, mv, mi, mh = mesh_bvh_batched(ds, o, d,

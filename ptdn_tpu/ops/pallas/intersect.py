@@ -1,4 +1,11 @@
-"""Pallas TPU kernel: fused closest-hit over all mesh triangles.
+"""[SUPERSEDED] First-generation mesh kernel — kept as a documented
+negative result (see docs/PERF_NOTES.md): the MXU plane-form needs K=4
+dots, which pad to K=128 and lose 32x; the [R,4] sublane ray layout
+relayouts everything. scene_intersect.py (rays in lanes, triangles in
+sublane groups, pure VPU broadcasts) is 5x faster and is the production
+path.
+
+Pallas TPU kernel: fused closest-hit over all mesh triangles.
 
 This replaces the XLA brute-force streaming path for the hot passes. The
 XLA version materializes (N, 128) HBM temporaries per triangle chunk

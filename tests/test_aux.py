@@ -92,3 +92,48 @@ def test_config_static_vs_traced():
     tp = a.traced_params()
     assert set(tp) == {"shadow_intensity", "light_radius", "color_alpha",
                        "moment_alpha", "sigma_l", "sigma_x", "sigma_n"}
+
+
+def test_cli_config_mapping():
+    """Every reference ui_* control is reachable from the CLI."""
+    from ptdn_tpu.app.cli import build_arg_parser, config_from_args
+
+    args = build_arg_parser().parse_args([
+        "scene.txt", "--depth", "7", "--denoise", "--temporal", "--spatial",
+        "--sigma-l", "0.5", "--atrous-levels", "4", "--history-level", "2",
+        "--sepcolor", "--addcolor", "--no-reducevar", "--sintensity", "3.5",
+        "--lightradius", "2.0", "--view", "variance", "--automate",
+        "--cam-speed", "0.1", "0", "0", "0.02", "0.03",
+    ])
+    cfg = config_from_args(args)
+    assert cfg.trace_depth == 7 and cfg.denoise_enable
+    assert cfg.temporal_enable and cfg.spatial_enable
+    assert cfg.sigma_l == pytest.approx(0.5)
+    assert cfg.atrous_nlevel == 4 and cfg.history_level == 2
+    assert cfg.sep_color and cfg.add_color and not cfg.reduce_var
+    assert cfg.shadow_intensity == pytest.approx(3.5)
+    assert cfg.light_radius == pytest.approx(2.0)
+    assert cfg.right_view_option == 2
+    assert cfg.automate_camera and cfg.camera_speed_theta == pytest.approx(0.02)
+
+
+def test_show_texture_flag(cornell):
+    """SHOW_TEXTURE=0 equivalent: textured materials fall back to RGB."""
+    import jax.numpy as jnp
+
+    from ptdn_tpu.engine.wavefront import albedo_from, make_mat_reader
+
+    ds = cornell.device()
+    cfg = RenderConfig()
+    read = make_mat_reader(cfg)
+    from ptdn_tpu.engine.wavefront import sample_texture
+
+    mat = jnp.full(4, 8, jnp.int32)  # textured wall material
+    uv = jnp.full((4, 2), 0.5, jnp.float32)
+    mv = read(ds, mat)
+    with_tex = np.asarray(albedo_from(ds, mv, uv, True))
+    without = np.asarray(albedo_from(ds, mv, uv, False))
+    np.testing.assert_allclose(without, np.asarray(ds.mat_color[8]),
+                               atol=1e-6)
+    expect = np.asarray(sample_texture(ds, jnp.zeros(4, jnp.int32), uv))
+    np.testing.assert_allclose(with_tex, expect, atol=1e-6)
