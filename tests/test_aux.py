@@ -133,7 +133,8 @@ def test_show_texture_flag(cornell):
     mv = read(ds, mat)
     with_tex = np.asarray(albedo_from(ds, mv, uv, True))
     without = np.asarray(albedo_from(ds, mv, uv, False))
-    np.testing.assert_allclose(without, np.asarray(ds.mat_color[8]),
-                               atol=1e-6)
+    np.testing.assert_allclose(
+        without, np.broadcast_to(np.asarray(ds.mat_color[8]), (4, 3)),
+        atol=1e-6)
     expect = np.asarray(sample_texture(ds, jnp.zeros(4, jnp.int32), uv))
     np.testing.assert_allclose(with_tex, expect, atol=1e-6)
