@@ -37,7 +37,48 @@ def _parse_face_corner(tok: str):
     return pi - 1, ti - 1, ni - 1
 
 
-def load_obj(path: str) -> ObjMesh:
+def load_obj_native(path: str):
+    """Native C++ loader (ptdn_tpu/native/obj_loader.cpp); None if the
+    library is unavailable. Byte-identical output to load_obj_python."""
+    from ptdn_tpu.native import get_library
+
+    lib = get_library()
+    if lib is None:
+        return None
+    import ctypes
+
+    if lib.ptdn_obj_parse(path.encode()) != 0:
+        raise FileNotFoundError(path)
+    n_pos = ctypes.c_int64()
+    n_nrm = ctypes.c_int64()
+    n_uv = ctypes.c_int64()
+    n_tri = ctypes.c_int64()
+    lib.ptdn_obj_counts(ctypes.byref(n_pos), ctypes.byref(n_nrm),
+                        ctypes.byref(n_uv), ctypes.byref(n_tri))
+    pos = np.empty((n_pos.value, 3), np.float32)
+    nrm = np.empty((n_nrm.value, 3), np.float32)
+    uv = np.empty((n_uv.value, 2), np.float32)
+    pi = np.empty((n_tri.value, 3), np.int32)
+    ni = np.empty((n_tri.value, 3), np.int32)
+    ti = np.empty((n_tri.value, 3), np.int32)
+    lib.ptdn_obj_fill(pos, nrm, uv, pi, ni, ti)
+    lib.ptdn_obj_free()
+    return ObjMesh(positions=pos, normals=nrm, texcoords=uv,
+                   pos_idx=pi, nrm_idx=ni, uv_idx=ti)
+
+
+def load_obj(path: str, native: bool = True) -> ObjMesh:
+    if native:
+        try:
+            mesh = load_obj_native(path)
+            if mesh is not None:
+                return mesh
+        except OSError:
+            pass
+    return load_obj_python(path)
+
+
+def load_obj_python(path: str) -> ObjMesh:
     positions: List[List[float]] = []
     normals: List[List[float]] = []
     texcoords: List[List[float]] = []

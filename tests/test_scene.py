@@ -161,3 +161,23 @@ def test_native_bvh_matches_python():
         np.testing.assert_array_equal(nat_bvh.right_child, py_bvh.right_child)
         np.testing.assert_allclose(nat_bvh.bounds_min, py_bvh.bounds_min)
         np.testing.assert_allclose(nat_bvh.bounds_max, py_bvh.bounds_max)
+
+
+def test_native_obj_matches_python(scenes_dir):
+    """C++ OBJ loader must produce byte-identical arrays to the Python one."""
+    from ptdn_tpu.native import get_library
+    from ptdn_tpu.scene.objloader import load_obj_native, load_obj_python
+
+    if get_library() is None:
+        pytest.skip("no C++ toolchain")
+    for name in ["wall_x.obj", "bunny.obj", "chair.obj", "diamond.obj"]:
+        path = str(scenes_dir / "Models" / name)
+        a = load_obj_python(path)
+        b = load_obj_native(path)
+        assert b is not None
+        np.testing.assert_array_equal(a.positions, b.positions, err_msg=name)
+        np.testing.assert_array_equal(a.normals, b.normals, err_msg=name)
+        np.testing.assert_array_equal(a.texcoords, b.texcoords, err_msg=name)
+        np.testing.assert_array_equal(a.pos_idx, b.pos_idx, err_msg=name)
+        np.testing.assert_array_equal(a.nrm_idx, b.nrm_idx, err_msg=name)
+        np.testing.assert_array_equal(a.uv_idx, b.uv_idx, err_msg=name)
