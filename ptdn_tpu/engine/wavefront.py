@@ -274,19 +274,15 @@ def make_light_visibility(scene, cfg, light_geom: int = 0):
 
         return visible
 
-    from ptdn_tpu.ops.pallas.scene_intersect import scene_intersect_pallas
+    from ptdn_tpu.ops.pallas.scene_intersect import light_visibility_pallas
 
     n_tris = scene.n_tris
     interp = _pallas_interpret()
 
     def visible(ds, o, d):
-        out = scene_intersect_pallas(ds, geom_types, o, d, n_tris,
-                                     interpret=interp)
-        hit_light = out["geom_a"] == light_geom
-        if n_tris:
-            occluded = (out["tri_m"] >= 0) & (out["t_m"] < out["t_a"])
-            hit_light = hit_light & ~occluded
-        return hit_light
+        return light_visibility_pallas(ds, geom_types, o, d, n_tris,
+                                       light_geom=light_geom,
+                                       interpret=interp)
 
     return visible
 

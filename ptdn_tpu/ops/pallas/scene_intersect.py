@@ -38,8 +38,134 @@ TCHUNK = 128
 TGROUP = 8
 
 
+def _vis_kernel(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
+                tf_r, inv_r, invt_r, gbbmin_r, gbbmax_r, tri_r, cmin_r,
+                cmax_r, lit_o,
+                *, geom_types, n_tris: int, n_chunks: int,
+                light_geom: int):
+    """Visibility-only variant: did the closest hit land on `light_geom`?
+
+    Any-hit semantics against the light distance: no normals, no triangle
+    index bookkeeping, and the chunk loop exits early once every
+    potentially-lit lane in the block is occluded — shadow rays are the
+    cheapest pass this way (NEE consumes only this boolean,
+    pathtrace.cu:374)."""
+    shape = (RROWS, 128)
+    ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
+    dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
+
+    ta, ga, _, _, _ = _analytic_part(
+        geom_types, tf_r, inv_r, invt_r, (gbbmin_r, gbbmax_r),
+        (ox, oy, oz), (dx, dy, dz), shape, want_normals=False)
+    # keep masks as f32 (bool vreg concat/any miscompile in Mosaic)
+    lit = jnp.where(ga == float(light_geom), 1.0, 0.0)
+
+    if n_tris == 0:
+        lit_o[:] = lit
+        return
+
+    idx = 1.0 / dx
+    idy = 1.0 / dy
+    idz = 1.0 / dz
+
+    def chunk_cull(c, relevant_t):
+        t0x = (cmin_r[c, 0] - ox) * idx
+        t1x = (cmax_r[c, 0] - ox) * idx
+        t0y = (cmin_r[c, 1] - oy) * idy
+        t1y = (cmax_r[c, 1] - oy) * idy
+        t0z = (cmin_r[c, 2] - oz) * idz
+        t1z = (cmax_r[c, 2] - oz) * idz
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                       jnp.minimum(t0y, t1y)),
+                           jnp.minimum(t0z, t1z))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                       jnp.maximum(t0y, t1y)),
+                           jnp.maximum(t0z, t1z))
+        return jnp.any((tmax >= 0.0) & (tmin <= tmax) & (tmin < relevant_t))
+
+    def any_hit_chunk(c, lit):
+        def group(g, lit):
+            sl = tri_r[pl.ds(c * TCHUNK + g * TGROUP, TGROUP), :]
+            v0x, v0y, v0z = sl[:, 0:1], sl[:, 1:2], sl[:, 2:3]
+            e1x, e1y, e1z = sl[:, 3:4], sl[:, 4:5], sl[:, 5:6]
+            e2x, e2y, e2z = sl[:, 6:7], sl[:, 7:8], sl[:, 8:9]
+            occ_rows = []
+            for r in range(RROWS):
+                rdx, rdy, rdz = dx[r:r + 1], dy[r:r + 1], dz[r:r + 1]
+                rox, roy, roz = ox[r:r + 1], oy[r:r + 1], oz[r:r + 1]
+                px = rdy * e2z - rdz * e2y
+                py = rdz * e2x - rdx * e2z
+                pz = rdx * e2y - rdy * e2x
+                a = e1x * px + e1y * py + e1z * pz
+                f = 1.0 / a
+                sx, sy, sz = rox - v0x, roy - v0y, roz - v0z
+                u = f * (sx * px + sy * py + sz * pz)
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                v = f * (rdx * qx + rdy * qy + rdz * qz)
+                t = f * (e2x * qx + e2y * qy + e2z * qz)
+                ok = ((a >= FLT_EPSILON) & (u >= 0.0) & (u <= 1.0)
+                      & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0)
+                      & (t < ta[r:r + 1]))
+                occ_rows.append(jnp.max(jnp.where(ok, 1.0, 0.0), axis=0,
+                                        keepdims=True))
+            return lit * (1.0 - jnp.concatenate(occ_rows, axis=0))
+
+        return jax.lax.fori_loop(0, TCHUNK // TGROUP, group, lit)
+
+    def cond(state):
+        c, lit = state
+        return (c < n_chunks) & (jnp.max(lit) > 0.5)
+
+    def body(state):
+        c, lit = state
+        relevant_t = jnp.where(lit > 0.5, ta, -FLT_MAX)
+        lit = jax.lax.cond(chunk_cull(c, relevant_t),
+                           lambda l: any_hit_chunk(c, l), lambda l: l, lit)
+        return c + 1, lit
+
+    _, lit = jax.lax.while_loop(cond, body, (jnp.int32(0), lit))
+    lit_o[:] = lit
+
+
+def light_visibility_pallas(ds, geom_types, o, d, n_tris: int,
+                            light_geom: int = 0, interpret: bool = False):
+    """Shadow-ray visibility of `light_geom` for all rays (bool [N])."""
+    n = o.shape[0]
+    blk = RROWS * 128
+    pad = (-n) % blk
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+    npad = n + pad
+    nb = npad // 128
+    comps = [o[:, 0].reshape(nb, 128), o[:, 1].reshape(nb, 128),
+             o[:, 2].reshape(nb, 128), d[:, 0].reshape(nb, 128),
+             d[:, 1].reshape(nb, 128), d[:, 2].reshape(nb, 128)]
+    n_chunks = int(ds.tri_mm.shape[0]) if n_tris else 0
+    kern = functools.partial(_vis_kernel, geom_types=tuple(geom_types),
+                             n_tris=n_tris, n_chunks=n_chunks,
+                             light_geom=light_geom)
+    ray_spec = pl.BlockSpec((RROWS, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(nb // RROWS,),
+        in_specs=[ray_spec] * 6 + [smem] * 5 + [full] + [smem] * 2,
+        out_specs=ray_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, 128), jnp.float32),
+        interpret=interpret,
+    )(*comps, ds.geom_transform, ds.geom_inverse, ds.geom_inv_transpose,
+      ds.geom_bb_min, ds.geom_bb_max,
+      ds.tri_moller, ds.tri_chunk_min, ds.tri_chunk_max)
+    return out.reshape(npad)[:n] > 0.5
+
+
 def _analytic_part(geom_types, tf, inv, invt, gbb, o, d, shape,
-                   geom_cull: bool = False):
+                   geom_cull: bool = False, want_normals: bool = True):
     """Unrolled analytic-geom loop; o/d are component tuples of [8,128].
     Each geom's test is skipped for the whole block unless some ray hits
     its (padded) world AABB closer than the running best (the 1e-3 margin
@@ -81,17 +207,19 @@ def _analytic_part(geom_types, tf, inv, invt, gbb, o, d, shape,
             best = jax.lax.cond(
                 any_hit,
                 lambda b, gi=gi, gtype=gtype: _one_geom(
-                    geom_types, tf, inv, invt, gi, gtype, o, d, shape, b),
+                    geom_types, tf, inv, invt, gi, gtype, o, d, shape, b,
+                    want_normals),
                 lambda b: b, best)
         else:
             best = _one_geom(geom_types, tf, inv, invt, gi, gtype, o, d,
-                             shape, best)
+                             shape, best, want_normals)
 
     best_t, best_g, bnx, bny, bnz = best
     return best_t, best_g, bnx, bny, bnz
 
 
-def _one_geom(geom_types, tf, inv, invt, gi, gtype, o, d, shape, best):
+def _one_geom(geom_types, tf, inv, invt, gi, gtype, o, d, shape, best,
+              want_normals: bool = True):
     """One analytic geom test (intersections.h:50-146) + strict-< update."""
     ox, oy, oz = o
     dx, dy, dz = d
@@ -165,27 +293,26 @@ def _one_geom(geom_types, tf, inv, invt, gi, gtype, o, d, shape, best):
         wz = m[2][0] * pox + m[2][1] * poy + m[2][2] * poz + m[2][3]
         t_world = jnp.sqrt((ox - wx) ** 2 + (oy - wy) ** 2 + (oz - wz) ** 2)
 
-        if gtype == CUBE:
-            # normal via transform (reference quirk, intersections.h:88)
-            nwx = m[0][0] * n_ox + m[0][1] * n_oy + m[0][2] * n_oz
-            nwy = m[1][0] * n_ox + m[1][1] * n_oy + m[1][2] * n_oz
-            nwz = m[2][0] * n_ox + m[2][1] * n_oy + m[2][2] * n_oz
-        else:
-            it = [[invt[gi, r, c] for c in range(4)] for r in range(4)]
-            nwx = it[0][0] * pox + it[0][1] * poy + it[0][2] * poz
-            nwy = it[1][0] * pox + it[1][1] * poy + it[1][2] * poz
-            nwz = it[2][0] * pox + it[2][1] * poy + it[2][2] * poz
-            flip = jnp.where(inside, -1.0, 1.0)
-            nwx, nwy, nwz = nwx * flip, nwy * flip, nwz * flip
-        nn = 1.0 / jnp.sqrt(nwx * nwx + nwy * nwy + nwz * nwz)
-        nwx, nwy, nwz = nwx * nn, nwy * nn, nwz * nn
-
         better = hit & (t_world > 0) & (t_world < best_t)
         best_t = jnp.where(better, t_world, best_t)
         best_g = jnp.where(better, float(gi), best_g)
-        bnx = jnp.where(better, nwx, bnx)
-        bny = jnp.where(better, nwy, bny)
-        bnz = jnp.where(better, nwz, bnz)
+        if want_normals:
+            if gtype == CUBE:
+                # normal via transform (reference quirk, intersections.h:88)
+                nwx = m[0][0] * n_ox + m[0][1] * n_oy + m[0][2] * n_oz
+                nwy = m[1][0] * n_ox + m[1][1] * n_oy + m[1][2] * n_oz
+                nwz = m[2][0] * n_ox + m[2][1] * n_oy + m[2][2] * n_oz
+            else:
+                it = [[invt[gi, r, c] for c in range(4)] for r in range(4)]
+                nwx = it[0][0] * pox + it[0][1] * poy + it[0][2] * poz
+                nwy = it[1][0] * pox + it[1][1] * poy + it[1][2] * poz
+                nwz = it[2][0] * pox + it[2][1] * poy + it[2][2] * poz
+                flip = jnp.where(inside, -1.0, 1.0)
+                nwx, nwy, nwz = nwx * flip, nwy * flip, nwz * flip
+            nn = 1.0 / jnp.sqrt(nwx * nwx + nwy * nwy + nwz * nwz)
+            bnx = jnp.where(better, nwx * nn, bnx)
+            bny = jnp.where(better, nwy * nn, bny)
+            bnz = jnp.where(better, nwz * nn, bnz)
 
     return best_t, best_g, bnx, bny, bnz
 
