@@ -56,19 +56,21 @@ class Renderer:
     def render_frame(self):
         """Render one frame; returns (left, right) (H, W, 3) device arrays:
         left = raw/accumulated, right = denoised."""
-        if self.cam_changed:
+        changed = self.cam_changed
+        if changed:
             if not self.cfg.denoise_enable:
                 self.frame = 0
             self.cam_changed = False
         if self.frame == 0:
             self.reset_state()
+            changed = True      # fresh state: the primary cache is invalid
 
         frame_cam = self.camera.frame()
         cam = frame_cam.as_pytree()
         vm = jnp.asarray(view_matrix(frame_cam))
         self.state, left, right = self._step(
             self.state, self.ds, cam, vm, self._params,
-            jnp.uint32(self.frame))
+            jnp.uint32(self.frame), jnp.bool_(changed))
         self.frame += 1
         return left, right
 

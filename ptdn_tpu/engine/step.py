@@ -24,10 +24,25 @@ from ptdn_tpu.denoise.svgf import init_denoise_state, make_denoise_fn
 from ptdn_tpu.engine.wavefront import make_trace_fn
 
 
+_PCACHE_KEYS = ("t", "normal", "uv", "mat_id", "geom_id", "hit", "albedo")
+
+
 def init_frame_state(resolution) -> Dict[str, jnp.ndarray]:
     w, h = resolution
-    state = {"accum_image": jnp.zeros((h, w, 3), jnp.float32)}
+    n = w * h
+    f = jnp.float32
+    state = {"accum_image": jnp.zeros((h, w, 3), f)}
     state.update(init_denoise_state(resolution))
+    # primary-visibility cache (recomputed whenever the camera changes)
+    state.update({
+        "pcache_t": jnp.zeros(n, f),
+        "pcache_normal": jnp.zeros((n, 3), f),
+        "pcache_uv": jnp.zeros((n, 2), f),
+        "pcache_mat_id": jnp.zeros(n, jnp.int32),
+        "pcache_geom_id": jnp.full(n, -1, jnp.int32),
+        "pcache_hit": jnp.zeros(n, bool),
+        "pcache_albedo": jnp.zeros((n, 3), f),
+    })
     return state
 
 
@@ -37,9 +52,13 @@ def make_frame_step(scene, cfg, resolution=None):
     trace = make_trace_fn(scene, cfg, res)
     denoise = make_denoise_fn(cfg, res)
 
-    def step(state, ds, cam, view_mat, params, frame
+    def step(state, ds, cam, view_mat, params, frame,
+             cam_changed=jnp.bool_(True)
              ) -> Tuple[Dict, jnp.ndarray, jnp.ndarray]:
-        radiance_flat, gb = trace(ds, cam, params, frame)
+        pcache = {k: state["pcache_" + k] for k in _PCACHE_KEYS}
+        radiance_flat, gb, primary = trace(ds, cam, params, frame,
+                                           primary_cache=pcache,
+                                           cam_changed=cam_changed)
         radiance = radiance_flat.reshape(h, w, 3)
         gbuffer = {
             "position": gb["position"].reshape(h, w, 3),
@@ -65,6 +84,8 @@ def make_frame_step(scene, cfg, resolution=None):
             new_state = {k: v for k, v in state.items()}
             new_state["accum_image"] = accum
 
+        for k in _PCACHE_KEYS:
+            new_state["pcache_" + k] = primary[k]
         return new_state, left, right
 
     return step

@@ -326,7 +326,12 @@ def make_trace_fn(scene, cfg, resolution):
     light_emit_color = np.asarray(light_mat.color, np.float32) * np.float32(
         light_mat.emittance)
 
-    def trace(ds, cam, params, frame):
+    def trace(ds, cam, params, frame, primary_cache=None, cam_changed=None):
+        """primary_cache/cam_changed enable primary-visibility caching: the
+        first hit is a deterministic function of the camera, so a static
+        camera reuses last frame's intersection + albedo (one whole
+        intersect pass + a texture fetch saved). Pass primary_cache=None to
+        always recompute (the oracle path)."""
         import jax
 
         origin, direction = generate_camera_rays(cam, (w, h))
@@ -335,14 +340,24 @@ def make_trace_fn(scene, cfg, resolution):
         diffuse_flag = jnp.zeros(n, bool)
         lane = jnp.arange(n, dtype=jnp.uint32)
 
-        isect = intersect(ds, origin, direction)
+        def compute_primary(_):
+            isect = intersect(ds, origin, direction)
+            alb = albedo_from(ds, read_mat(ds, isect["mat_id"]),
+                              isect["uv"], cfg.show_texture)
+            return dict(isect, albedo=alb)
+
+        if primary_cache is None:
+            primary = compute_primary(None)
+        else:
+            primary = jax.lax.cond(cam_changed, compute_primary,
+                                   lambda _: primary_cache, None)
+        isect = {k: v for k, v in primary.items() if k != "albedo"}
+        gb_albedo = primary["albedo"]
 
         # ---- G-buffer from the primary hit (pathtrace.cu:314-323) ----
         gb_position = origin + isect["t"][..., None] * direction
         gb_normal = isect["normal"]
         gb_geom = isect["geom_id"]
-        gb_albedo = albedo_from(ds, read_mat(ds, isect["mat_id"]),
-                                isect["uv"], cfg.show_texture)
         gb_ialbedo = jnp.ones((n, 3))
 
         active = isect["hit"]
@@ -530,6 +545,6 @@ def make_trace_fn(scene, cfg, resolution):
             "ialbedo": gb_ialbedo,
             "geom_id": gb_geom,
         }
-        return radiance, gbuffer
+        return radiance, gbuffer, primary
 
     return trace

@@ -18,10 +18,13 @@ from ptdn_tpu.engine.step import init_frame_state, make_frame_step
 from ptdn_tpu.parallel.mesh import (make_mesh, replicated, row_sharding,
                                     shard_state)
 
-# frame-state keys that are image-shaped (H, W, ...) and shard by rows
+# frame-state keys that are image-shaped (H, W, ...) or flat-ray-shaped
+# (N = H*W, the same contiguous partition) and shard by rows
 _IMAGE_KEYS = ("accum_image", "color_history", "moment_history",
                "history_length", "prev_position", "prev_normal",
-               "prev_geom_id")
+               "prev_geom_id", "pcache_t", "pcache_normal", "pcache_uv",
+               "pcache_mat_id", "pcache_geom_id", "pcache_hit",
+               "pcache_albedo")
 
 
 def state_shardings(mesh, state):
@@ -49,7 +52,7 @@ def make_sharded_step(scene, cfg, resolution=None, mesh=None, n_devices=None):
 
     jitted = jax.jit(
         step,
-        in_shardings=(st_shard, rep, rep, rep, rep, rep),
+        in_shardings=(st_shard, rep, rep, rep, rep, rep, rep),
         out_shardings=(st_shard, img_shard, img_shard),
         donate_argnums=(0,),
     )

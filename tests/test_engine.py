@@ -27,7 +27,7 @@ def test_primary_intersection_gbuffer(cornell):
 
     trace = make_trace_fn(cornell, cfg, RES)
     cam = r.camera.frame().as_pytree()
-    radiance, gb = trace(r.ds, cam, r._params, jnp.uint32(0))
+    radiance, gb, _ = trace(r.ds, cam, r._params, jnp.uint32(0))
     geom = np.asarray(gb["geom_id"]).reshape(RES[1], RES[0])
     # central pixel sees the back wall (mesh, geom 3) or nearby objects
     assert geom[RES[1] // 2, RES[0] // 2] >= 0

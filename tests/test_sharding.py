@@ -47,11 +47,13 @@ def test_sharded_step_matches_single_device(cpu_mesh, scene):
         step1 = jax.jit(make_frame_step(scene, cfg, RES))
         st1 = init_frame_state(RES)
         for f in range(2):
-            st1, l1, r1 = step1(st1, ds, cam, vm, params, jnp.uint32(f))
+            st1, l1, r1 = step1(st1, ds, cam, vm, params, jnp.uint32(f),
+                                jnp.bool_(f == 0))
 
     stepN, stN, _ = make_sharded_step(scene, cfg, RES, mesh=cpu_mesh)
     for f in range(2):
-        stN, lN, rN = stepN(stN, ds, cam, vm, params, jnp.uint32(f))
+        stN, lN, rN = stepN(stN, ds, cam, vm, params, jnp.uint32(f),
+                            jnp.bool_(f == 0))
 
     np.testing.assert_allclose(np.asarray(r1), np.asarray(rN),
                                atol=2e-5, rtol=1e-5)
@@ -63,7 +65,8 @@ def test_output_is_row_sharded(cpu_mesh, scene):
     cfg = RenderConfig(denoise_enable=False, trace_depth=2)
     ds, cam, vm, params = _inputs(scene, cfg)
     stepN, stN, _ = make_sharded_step(scene, cfg, RES, mesh=cpu_mesh)
-    stN, left, right = stepN(stN, ds, cam, vm, params, jnp.uint32(0))
+    stN, left, right = stepN(stN, ds, cam, vm, params, jnp.uint32(0),
+                             jnp.bool_(True))
     spec = right.sharding.spec
     assert spec[0] == ROW_AXIS
     # 8 shards of 8 rows each
