@@ -1,0 +1,44 @@
+"""Per-stage breakdown of the cornell headline frame on TPU."""
+import time
+import numpy as np
+from ptdn_tpu.engine import Renderer
+from ptdn_tpu.scene import Scene
+from ptdn_tpu.utils.config import RenderConfig
+from ptdn_tpu.utils.timing import fetch_scalar
+
+SCENE = "/root/reference/scenes/cornell.txt"
+
+
+def measure(tag, **kw):
+    svgf = dict(denoise_enable=True, temporal_enable=True,
+                spatial_enable=True, atrous_nlevel=5, backend="pallas",
+                trace_depth=8)
+    svgf.update(kw)
+    cfg = RenderConfig(**svgf)
+    scene = Scene(SCENE)
+    r = Renderer(scene, cfg, resolution=(800, 800))
+
+    def run(n):
+        right = None
+        t0 = time.time()
+        for _ in range(n):
+            left, right = r.render_frame()
+        fetch_scalar(right)
+        return time.time() - t0
+
+    run(3)
+    t1 = run(5)
+    t2 = run(25)
+    ms = (t2 - t1) / 20 * 1000.0
+    print(f"{tag:42s} {ms:8.1f} ms")
+    return ms
+
+
+base = measure("baseline (full)")
+measure("show_texture=False", show_texture=False)
+measure("shadow_ray=False", shadow_ray=False)
+measure("denoise off", denoise_enable=False)
+measure("depth=1", trace_depth=1)
+measure("depth=2", trace_depth=2)
+measure("depth=4", trace_depth=4)
+measure("no tex, no shadow", show_texture=False, shadow_ray=False)

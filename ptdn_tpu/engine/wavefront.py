@@ -42,17 +42,23 @@ def sample_texture(ds, texid, uv):
     """Nearest-neighbor texel fetch with V flip (Texture::getColor,
     sceneStructs.h:208-221). texid must be pre-clamped >= 0.
 
-    NOTE: measured on v5e, the (texid, y, x) multi-dim gather is ~4x
-    FASTER than an equivalent flat single-index row gather (28 -> 7.6 ms
-    per 640k lookups), so keep the multi-dim form."""
+    Texels are byte-packed into ONE u32 per texel and fetched with a
+    single flat-index gather (unpacked in-jit): measured 4.8 ms vs
+    8.0 ms for the multi-dim (texid,y,x) 3-channel gather per 640k
+    random lookups on v5e. Values are bit-identical (bytes 0..255)."""
     wh = ds.tex_wh[texid]
     w = wh[..., 0].astype(jnp.float32)
     h = wh[..., 1].astype(jnp.float32)
     x = jnp.minimum(w * uv[..., 0], w - 1.0).astype(jnp.int32)
     y = jnp.minimum(h * (1.0 - uv[..., 1]), h - 1.0).astype(jnp.int32)
-    x = jnp.clip(x, 0, ds.tex_atlas.shape[2] - 1)
-    y = jnp.clip(y, 0, ds.tex_atlas.shape[1] - 1)
-    return ds.tex_atlas[texid, y, x] * COLORDIVIDOR
+    hm, wm = ds.tex_atlas.shape[1], ds.tex_atlas.shape[2]
+    x = jnp.clip(x, 0, wm - 1)
+    y = jnp.clip(y, 0, hm - 1)
+    packed = ds.tex_flat_u32[texid * (hm * wm) + y * wm + x]
+    rgb = jnp.stack([packed & jnp.uint32(0xFF),
+                     (packed >> 8) & jnp.uint32(0xFF),
+                     (packed >> 16) & jnp.uint32(0xFF)], axis=-1)
+    return rgb.astype(jnp.float32) * COLORDIVIDOR
 
 
 def albedo_of(ds, mat_id, uv):
@@ -367,9 +373,7 @@ def make_trace_fn(scene, cfg, resolution):
             from ptdn_tpu.ops.pallas import shade as SH
 
             (origin, direction, throughput, radiance, diffuse_flag, active,
-             isect) = carry
-            alb = albedo_from(ds, read_mat(ds, isect["mat_id"]),
-                              isect["uv"], cfg.show_texture)
+             isect, alb) = carry
 
             nb = n // 128
 
@@ -432,25 +436,29 @@ def make_trace_fn(scene, cfg, resolution):
                 radiance = radiance + jnp.where(lit[..., None], contrib, 0.0)
 
             def do_next(args):
-                spawn, new_dir, active, isect = args
+                spawn, new_dir, active, isect, alb = args
                 nxt = intersect(ds, spawn, new_dir)
-                return spawn, new_dir, active & nxt["hit"], nxt
+                # fetch the NEXT bounce's albedo here (skipped at max
+                # depth — saves one whole gather site per frame)
+                nalb = albedo_from(ds, read_mat(ds, nxt["mat_id"]),
+                                   nxt["uv"], cfg.show_texture)
+                return spawn, new_dir, active & nxt["hit"], nxt, nalb
 
             def no_next(args):
-                _, _, active, isect = args
-                return origin, direction, active, isect
+                _, _, active, isect, alb = args
+                return origin, direction, active, isect, alb
 
-            origin2, direction2, active, isect = jax.lax.cond(
+            origin2, direction2, active, isect, alb = jax.lax.cond(
                 depth < cfg.trace_depth, do_next, no_next,
-                (spawn, new_dir, active, isect))
+                (spawn, new_dir, active, isect, alb))
             return (origin2, direction2, throughput, radiance, diffuse_flag,
-                    active, isect), None
+                    active, isect, alb), None
 
         def bounce(carry, depth):
             """One reference bounce-loop iteration (pathtrace.cu:325-394).
             `depth` is traced so the whole loop compiles ONCE (scan)."""
             (origin, direction, throughput, radiance, diffuse_flag, active,
-             isect) = carry
+             isect, alb) = carry
             seed = init_rand(lane, jnp.uint32(frame) + depth.astype(jnp.uint32))
             mat = isect["mat_id"]
             mv = read_mat(ds, mat)
@@ -475,8 +483,8 @@ def make_trace_fn(scene, cfg, resolution):
 
             # throughput *= albedo; sepcolor skips the first-hit albedo so
             # SVGF can remodulate it after filtering (pathtrace.cu:343-355;
-            # the reference's glm::clamp there discards its result — no-op)
-            alb = albedo_from(ds, mv, isect["uv"], cfg.show_texture)
+            # the reference's glm::clamp there discards its result — no-op).
+            # `alb` rides the carry: fetched with each intersection.
             apply_alb = active
             if cfg.sep_color and cfg.denoise_enable:
                 apply_alb = apply_alb & (depth > 1)
@@ -502,7 +510,8 @@ def make_trace_fn(scene, cfg, resolution):
             # ---- scatter + next intersection, skipped at max depth
             # (pathtrace.cu:388-392); lax.cond keeps one compiled copy ----
             def do_scatter(args):
-                origin, direction, throughput, diffuse_flag, active, isect, seed = args
+                (origin, direction, throughput, diffuse_flag, active, isect,
+                 alb, seed) = args
                 seed, origin, direction, throughput, became_diffuse, _ = (
                     bsdf.scatter_ray(seed, direction, throughput, ipos,
                                      inormal, m_refl, m_refr,
@@ -511,22 +520,27 @@ def make_trace_fn(scene, cfg, resolution):
                 diffuse_flag = diffuse_flag | became_diffuse
                 nxt = intersect(ds, origin, direction)
                 active = active & nxt["hit"]
-                return origin, direction, throughput, diffuse_flag, active, nxt
+                nalb = albedo_from(ds, read_mat(ds, nxt["mat_id"]),
+                                   nxt["uv"], cfg.show_texture)
+                return (origin, direction, throughput, diffuse_flag, active,
+                        nxt, nalb)
 
             def no_scatter(args):
-                origin, direction, throughput, diffuse_flag, active, isect, _ = args
-                return origin, direction, throughput, diffuse_flag, active, isect
+                (origin, direction, throughput, diffuse_flag, active, isect,
+                 alb, _) = args
+                return (origin, direction, throughput, diffuse_flag, active,
+                        isect, alb)
 
-            (origin, direction, throughput, diffuse_flag, active, isect) = (
-                jax.lax.cond(
+            (origin, direction, throughput, diffuse_flag, active, isect,
+             alb) = jax.lax.cond(
                     depth < cfg.trace_depth, do_scatter, no_scatter,
                     (origin, direction, throughput, diffuse_flag, active,
-                     isect, seed)))
+                     isect, alb, seed))
             return (origin, direction, throughput, radiance, diffuse_flag,
-                    active, isect), None
+                    active, isect, alb), None
 
         carry = (origin, direction, throughput, radiance, diffuse_flag,
-                 active, isect)
+                 active, isect, gb_albedo)
         body = (bounce_pallas
                 if cfg.backend == "pallas" and n % (8 * 128) == 0
                 else bounce)
