@@ -42,3 +42,9 @@ measure("depth=1", trace_depth=1)
 measure("depth=2", trace_depth=2)
 measure("depth=4", trace_depth=4)
 measure("no tex, no shadow", show_texture=False, shadow_ray=False)
+
+print("--- denoise split ---")
+measure("temporal off (spatial only)", temporal_enable=False)
+measure("atrous 0 levels", atrous_nlevel=0)
+measure("atrous 1 level", atrous_nlevel=1)
+measure("spatial off (temporal only)", spatial_enable=False)

@@ -1,0 +1,30 @@
+import numpy as np, jax, jax.numpy as jnp
+from ptdn_tpu.utils.timing import bench_slope
+from ptdn_tpu.denoise import reproject as RP
+
+h = w = 800
+rng = np.random.default_rng(0)
+def img(c=3):
+    return jnp.asarray(rng.normal(size=(h, w, c)).astype(np.float32))
+gb_c = {"position": img()*3, "normal": img(),
+        "geom_id": jnp.asarray(rng.integers(0, 3, (h, w)).astype(np.int32))}
+gb_p = {"position": img()*3, "normal": gb_c["normal"],
+        "geom_id": gb_c["geom_id"]}
+vm = np.eye(4, dtype=np.float32); vm[2, 2] = -1.0
+color, ch = img(), img()
+mh = img(2)
+hl = jnp.asarray(rng.integers(0, 6, (h, w)).astype(np.int32))
+
+def run(tag, fn):
+    @jax.jit
+    def f(color):
+        out = fn((w, h), color, gb_c, gb_p, jnp.asarray(vm), ch, mh, hl,
+                 jnp.float32(0.2), jnp.float32(0.2))
+        return out[1]  # color_acc
+    ms = bench_slope(lambda c: f(c), color, n1=4, n2=12,
+                     chain=lambda out, a: (out,))
+    print(f"{tag:36s} {ms:7.2f} ms")
+
+run("packed (9 gathers)", RP.back_projection_packed)
+run("packed2 (4 gathers)", RP.back_projection_packed2)
+run("window (1 gather, strided build)", RP.back_projection_window)

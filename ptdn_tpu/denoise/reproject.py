@@ -50,6 +50,147 @@ def _reproj_valid(res, prev_x, prev_y, curr_geom, curr_normal,
     return inb & same_geom & (nd <= 0.1)
 
 
+def _accumulate_from_taps(taps, base_valid, fracx, fracy, current_color,
+                          curr_geom, history_length, lum, color_alpha_min,
+                          moment_alpha_min):
+    """Shared tail: 2x2 bilinear + 3x3 fallback + EWMA + rejection
+    (denoise.cu:219-315) given per-tap (values[...,10], valid) for the
+    3x3 window keyed by (dy, dx)."""
+    n_hist = history_length.astype(jnp.float32)
+
+    quad = [((0, 0), (1 - fracx) * (1 - fracy)),
+            ((1, 0), fracx * (1 - fracy)),       # offset (dx=1, dy=0)
+            ((0, 1), (1 - fracx) * fracy),       # offset (dx=0, dy=1)
+            ((1, 1), fracx * fracy)]
+    all_valid = base_valid
+    for (dx, dy), _ in quad:
+        all_valid = all_valid & taps[(dy, dx)][1]
+    pc = jnp.zeros_like(current_color)
+    pm = jnp.zeros(curr_geom.shape + (2,))
+    ph = jnp.zeros(curr_geom.shape)
+    sumw = jnp.zeros(curr_geom.shape)
+    for (dx, dy), wgt in quad:
+        a, v = taps[(dy, dx)]
+        mw = jnp.where(all_valid & v, wgt, 0.0)
+        pc = pc + mw[..., None] * a[..., 0:3]
+        pm = pm + mw[..., None] * a[..., 3:5]
+        ph = ph + mw * a[..., 5]
+        sumw = sumw + mw
+    bilinear_ok = all_valid & (sumw >= 0.01)
+    safe = jnp.maximum(sumw, 1e-20)
+    pc_b, pm_b, ph_b = pc / safe[..., None], pm / safe[..., None], ph / safe
+
+    # ---- 3x3 uniform fallback ----
+    fc = jnp.zeros_like(current_color)
+    fm = jnp.zeros(curr_geom.shape + (2,))
+    fh = jnp.zeros(curr_geom.shape)
+    cnt = jnp.zeros(curr_geom.shape)
+    for (dy, dx), (a, v) in taps.items():
+        mv = jnp.where(v, 1.0, 0.0)
+        fc = fc + mv[..., None] * a[..., 0:3]
+        fm = fm + mv[..., None] * a[..., 3:5]
+        fh = fh + mv * a[..., 5]
+        cnt = cnt + mv
+    fallback_ok = ~bilinear_ok & (cnt > 0)
+    safe_cnt = jnp.maximum(cnt, 1e-20)
+    pc = jnp.where(bilinear_ok[..., None], pc_b, fc / safe_cnt[..., None])
+    pm = jnp.where(bilinear_ok[..., None], pm_b, fm / safe_cnt[..., None])
+    ph = jnp.where(bilinear_ok, ph_b, fh / safe_cnt)
+
+    valid = ((bilinear_ok | fallback_ok) & (history_length > 0)
+             & (curr_geom != -1))
+
+    color_alpha = jnp.maximum(1.0 / (n_hist + 1.0), color_alpha_min)
+    moment_alpha = jnp.maximum(1.0 / (n_hist + 1.0), moment_alpha_min)
+    acc_color = (current_color * color_alpha[..., None]
+                 + pc * (1.0 - color_alpha)[..., None])
+    m1 = moment_alpha * pm[..., 0] + (1.0 - moment_alpha) * lum
+    m2 = moment_alpha * pm[..., 1] + (1.0 - moment_alpha) * lum * lum
+    var = jnp.maximum(m2 - m1 * m1, 0.0)
+
+    color_acc = jnp.where(valid[..., None], acc_color, current_color)
+    moment_acc = jnp.where(valid[..., None], jnp.stack([m1, m2], axis=-1),
+                           jnp.stack([lum, lum * lum], axis=-1))
+    variance = jnp.where(valid, var, 100.0)
+    history_update = jnp.where(valid, ph.astype(jnp.int32) + 1, 1)
+    return variance, color_acc, moment_acc, history_update
+
+
+def back_projection_window(res, current_color, curr_gb, prev_gb,
+                           prev_viewmat, color_history, moment_history,
+                           history_length, color_alpha_min,
+                           moment_alpha_min):
+    """back_projection with ONE row gather: prev-frame data is packed as
+    a stride-1 grid of complete 3x3x10ch windows (90 f32 per row), so a
+    pixel's whole tap neighborhood is one gathered row and every tap is
+    a direct channel slice (no select tree). TPU row gathers are
+    COUNT-bound (~7-10 ms per 640k rows whether rows are 16 B or 640 B —
+    measured on v5e), so one 360-B-row gather beats four 160-B-row
+    gathers ~2x and nine 40-B-row gathers ~4x."""
+    import jax
+
+    w, h = res
+    pos = curr_gb["position"]
+    curr_geom = curr_gb["geom_id"]
+    curr_normal = curr_gb["normal"]
+    lum = luminance(current_color)
+
+    vs = pos @ prev_viewmat[:3, :3].T + prev_viewmat[:3, 3]
+    prevx = (-(vs[..., 0] / vs[..., 2]) * 0.5 + 0.5) * w - 0.5
+    prevy = (-(vs[..., 1] / vs[..., 2]) * 0.5 + 0.5) * h - 0.5
+    floorx = jnp.floor(prevx)
+    floory = jnp.floor(prevy)
+    fracx = prevx - floorx
+    fracy = prevy - floory
+    fx = floorx.astype(jnp.int32)
+    fy = floory.astype(jnp.int32)
+    base_valid = (floorx >= 0) & (floory >= 0) & (floorx < w) & (floory < h)
+
+    # per-pixel prev planes, padded by 2 on every side; padding geom = -1
+    # so out-of-image taps can never validate as a real match. The grid
+    # covers window centers fy in [-1, h] (a tap can be in-bounds while
+    # the center is one off the edge).
+    pix9 = jnp.concatenate([
+        color_history.reshape(h, w, 3),
+        moment_history.reshape(h, w, 2),
+        history_length.reshape(h, w, 1).astype(jnp.float32),
+        prev_gb["normal"].reshape(h, w, 3),
+    ], axis=-1)
+    pad9 = jnp.pad(pix9, ((2, 2), (2, 2), (0, 0)))
+    padg = jnp.pad(prev_gb["geom_id"].astype(jnp.float32)[..., None],
+                   ((2, 2), (2, 2), (0, 0)), constant_values=-1.0)
+    padded = jnp.concatenate([pad9, padg], axis=-1)   # (h+4, w+4, 10)
+
+    gh, gw = h + 2, w + 2
+    cells = []
+    for a in range(3):
+        for b in range(3):
+            cells.append(padded[a:a + gh, b:b + gw, :])
+    table = jnp.concatenate(cells, axis=-1).reshape(gh * gw, 90)
+    table = jax.lax.optimization_barrier(table)
+
+    gi = jnp.clip(fy + 1, 0, gh - 1)
+    gj = jnp.clip(fx + 1, 0, gw - 1)
+    g = table[(gi * gw + gj).reshape(-1)].reshape(h, w, 9, 10)
+
+    geo_f = curr_geom.astype(jnp.float32)
+    taps = {}
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            a = g[..., (dy + 1) * 3 + (dx + 1), :]
+            qx = fx + dx
+            qy = fy + dy
+            inb = (qx >= 0) & (qx < w) & (qy >= 0) & (qy < h)
+            pg = a[..., 9]
+            same = (pg != -1) & (pg == geo_f)
+            nd = jnp.linalg.norm(a[..., 6:9] - curr_normal, axis=-1)
+            taps[(dy, dx)] = (a, inb & same & (nd <= 0.1))
+
+    return _accumulate_from_taps(taps, base_valid, fracx, fracy,
+                                 current_color, curr_geom, history_length,
+                                 lum, color_alpha_min, moment_alpha_min)
+
+
 def back_projection_packed(res, current_color, curr_gb, prev_gb,
                            prev_viewmat, color_history, moment_history,
                            history_length, color_alpha_min,

@@ -196,10 +196,12 @@ def test_backprojection_packed_parity():
     hl = jnp.asarray(rng.integers(0, 6, size=(h, w)).astype(np.int32))
     args = ((w, h), color, gb_c, gb_p, jnp.asarray(vm), ch, mh, hl,
             jnp.float32(0.2), jnp.float32(0.2))
-    from ptdn_tpu.denoise.reproject import back_projection_packed2
+    from ptdn_tpu.denoise.reproject import (back_projection_packed2,
+                                            back_projection_window)
 
     a = back_projection(*args)
-    for impl in (back_projection_packed, back_projection_packed2):
+    for impl in (back_projection_packed, back_projection_packed2,
+                 back_projection_window):
         b = impl(*args)
         for x, y, name in zip(a, b, ["var", "color", "moment", "hist"]):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
