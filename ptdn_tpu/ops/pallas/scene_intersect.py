@@ -317,29 +317,12 @@ def _one_geom(geom_types, tf, inv, invt, gi, gtype, o, d, shape, best,
     return best_t, best_g, bnx, bny, bnz
 
 
-def _kernel(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
-            tf_r, inv_r, invt_r, gbbmin_r, gbbmax_r, tri_r, cmin_r, cmax_r,
-            ta_o, ga_o, nx_o, ny_o, nz_o, tm_o, im_o,
-            *, geom_types, n_tris: int, n_chunks: int, cull: bool):
-    shape = (RROWS, 128)
-    ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
-    dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
-
-    ta, ga, nx, ny, nz = _analytic_part(
-        geom_types, tf_r, inv_r, invt_r, (gbbmin_r, gbbmax_r),
-        (ox, oy, oz), (dx, dy, dz), shape)
-    ta_o[:] = jnp.where(ga >= 0.0, ta, -1.0)
-    ga_o[:] = ga
-    nx_o[:] = nx
-    ny_o[:] = ny
-    nz_o[:] = nz
-
-    if n_tris == 0:
-        tm_o[:] = jnp.full(shape, -1.0, jnp.float32)
-        im_o[:] = jnp.full(shape, -1.0, jnp.float32)
-        return
-
-    # ---------------- mesh part ----------------
+def _mesh_best(tri_r, cmin_r, cmax_r, o, d, ta, ga, shape, n_tris: int,
+               n_chunks: int, cull: bool):
+    """Chunked brute-force mesh closest hit over the whole block.
+    Returns (best_t, best_tri_index) as f32 tiles (FLT_MAX = none)."""
+    ox, oy, oz = o
+    dx, dy, dz = d
     sub_i = jax.lax.broadcasted_iota(jnp.int32, (TGROUP, 1), 0).astype(
         jnp.float32)
     if cull:
@@ -447,11 +430,221 @@ def _kernel(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
         bt, bi = best
     else:
         bt, bi = jax.lax.fori_loop(0, n_chunks, chunk_body, (bt0, bi0))
+    return bt, bi
+
+
+def _kernel(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
+            tf_r, inv_r, invt_r, gbbmin_r, gbbmax_r, tri_r, cmin_r, cmax_r,
+            ta_o, ga_o, nx_o, ny_o, nz_o, tm_o, im_o,
+            *, geom_types, n_tris: int, n_chunks: int, cull: bool):
+    shape = (RROWS, 128)
+    ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
+    dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
+
+    ta, ga, nx, ny, nz = _analytic_part(
+        geom_types, tf_r, inv_r, invt_r, (gbbmin_r, gbbmax_r),
+        (ox, oy, oz), (dx, dy, dz), shape)
+    ta_o[:] = jnp.where(ga >= 0.0, ta, -1.0)
+    ga_o[:] = ga
+    nx_o[:] = nx
+    ny_o[:] = ny
+    nz_o[:] = nz
+
+    if n_tris == 0:
+        tm_o[:] = jnp.full(shape, -1.0, jnp.float32)
+        im_o[:] = jnp.full(shape, -1.0, jnp.float32)
+        return
+
+    bt, bi = _mesh_best(tri_r, cmin_r, cmax_r, (ox, oy, oz), (dx, dy, dz),
+                        ta, ga, shape, n_tris, n_chunks, cull)
     found = bi < FLT_MAX
     # mask out padding triangles of the last chunk
     found = found & (bi < float(n_tris))
     tm_o[:] = jnp.where(found, bt, -1.0)
     im_o[:] = jnp.where(found, bi, -1.0)
+
+
+def _mesh_attr_refine(tri_attr_t_ref, bt, bi, o, d, shape, n_tris: int,
+                      n_chunks: int, compat: bool):
+    """Resolve the winning triangle's attributes IN-KERNEL and redo the
+    exact glm-parity Moller-Trumbore + interpolation that the engine used
+    to run in XLA (ops/intersect.ray_triangle / interpolate_tri_hit).
+
+    Per chunk, each of the 25 attribute channels lives on the LANE axis
+    (tri_attr_t row c*32+ch), so one 128-wide take_along_axis per channel
+    replaces the XLA one-hot matmul gather (~1.2 ms/bounce saved)."""
+    ox, oy, oz = o
+    dx, dy, dz = d
+    found = (bi < FLT_MAX) & (bi < float(n_tris))
+    ii = jnp.where(found, bi, 0.0).astype(jnp.int32)
+
+    acc = [jnp.zeros(shape, jnp.float32) for _ in range(25)]
+
+    def resolve_chunk(c, acc):
+        local = ii - c * TCHUNK
+        inchunk = found & (local >= 0) & (local < TCHUNK)
+        idx = jnp.clip(local, 0, TCHUNK - 1)
+        new = []
+        for ch in range(25):
+            row = tri_attr_t_ref[pl.ds(c * 32 + ch, 1), :]      # [1, 128]
+            pick = jnp.take_along_axis(
+                jnp.broadcast_to(row, shape), idx, axis=1)
+            new.append(jnp.where(inchunk, pick, acc[ch]))
+        return new
+
+    if n_chunks <= 2:
+        for c in range(n_chunks):
+            acc = resolve_chunk(c, acc)
+    else:
+        def body(c, acc):
+            def hit(acc):
+                return tuple(resolve_chunk(c, list(acc)))
+            any_here = jnp.any(found & (ii >= c * TCHUNK)
+                               & (ii < (c + 1) * TCHUNK))
+            return jax.lax.cond(any_here, hit, lambda a: a, tuple(acc))
+        acc = list(jax.lax.fori_loop(0, n_chunks, body, tuple(acc)))
+
+    (v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z,
+     n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z,
+     u0x, u0y, u1x, u1y, u2x, u2y, gm) = acc
+
+    # exact glm::intersectRayTriangle (glm/gtx/intersect.inl:36-74),
+    # component form in the same op order as ops/intersect.ray_triangle
+    e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+    e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    a = e1x * px + e1y * py + e1z * pz
+    front = a >= FLT_EPSILON
+    f = 1.0 / jnp.where(front, a, 1.0)
+    sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+    u = f * (sx * px + sy * py + sz * pz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (dx * qx + dy * qy + dz * qz)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
+    mh = (front & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+          & (t >= 0.0) & found & (t > 0.0))
+
+    # Triangle::Intersect interpolation (sceneStructs.h:160-172); compat
+    # keeps the reference's swapped normal weights
+    w_ = 1.0 - u - v
+    uvx = u0x * w_ + u1x * u + u2x * v
+    uvy = u0y * w_ + u1y * u + u2y * v
+    if compat:
+        nx = n0x * u + n1x * v + n2x * w_
+        ny = n0y * u + n1y * v + n2y * w_
+        nz = n0z * u + n1z * v + n2z * w_
+    else:
+        nx = n0x * w_ + n1x * u + n2x * v
+        ny = n0y * w_ + n1y * u + n2y * v
+        nz = n0z * w_ + n1z * u + n2z * v
+    nn = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    nx, ny, nz = nx / nn, ny / nn, nz / nn
+    m_geom = jnp.where(mh, gm, -1.0)
+    return t, mh, nx, ny, nz, uvx, uvy, m_geom
+
+
+def _kernel_full(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
+                 tf_r, inv_r, invt_r, gbbmin_r, gbbmax_r, tri_r,
+                 cmin_r, cmax_r, attr_r,
+                 t_o, g_o, nx_o, ny_o, nz_o, uu_o, vv_o, mat_o,
+                 *, geom_types, geom_mats, n_tris: int, n_chunks: int,
+                 cull: bool, compat: bool):
+    """Fully-resolved closest hit: analytic + mesh + attributes + merge
+    in ONE launch (the engine's intersect() contract, minus reshape)."""
+    shape = (RROWS, 128)
+    ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
+    dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
+
+    ta, ga, anx, any_, anz = _analytic_part(
+        geom_types, tf_r, inv_r, invt_r, (gbbmin_r, gbbmax_r),
+        (ox, oy, oz), (dx, dy, dz), shape)
+    a_valid = ga >= 0.0
+
+    if n_tris == 0:
+        t = jnp.where(a_valid, ta, -1.0)
+        geom = jnp.where(a_valid, ga, -1.0)
+        nx, ny, nz = anx, any_, anz
+        uu = jnp.zeros(shape, jnp.float32)
+        vv = jnp.zeros(shape, jnp.float32)
+    else:
+        bt, bi = _mesh_best(tri_r, cmin_r, cmax_r, (ox, oy, oz),
+                            (dx, dy, dz), ta, ga, shape, n_tris, n_chunks,
+                            cull)
+        t_m, mh, mnx, mny, mnz, uvx, uvy, m_geom = _mesh_attr_refine(
+            attr_r, bt, bi, (ox, oy, oz), (dx, dy, dz), shape, n_tris,
+            n_chunks, compat)
+        mesh_wins = mh & (~a_valid | (t_m < ta))
+        t = jnp.where(mesh_wins, t_m, jnp.where(a_valid, ta, -1.0))
+        geom = jnp.where(mesh_wins, m_geom, jnp.where(a_valid, ga, -1.0))
+        nx = jnp.where(mesh_wins, mnx, anx)
+        ny = jnp.where(mesh_wins, mny, any_)
+        nz = jnp.where(mesh_wins, mnz, anz)
+        uu = jnp.where(mesh_wins, uvx, 0.0)
+        vv = jnp.where(mesh_wins, uvy, 0.0)
+
+    # static geom -> material table as a select chain
+    mat = jnp.zeros(shape, jnp.float32)
+    for gi, mi in enumerate(geom_mats):
+        mat = jnp.where(geom == float(gi), float(mi), mat)
+    t_o[:] = t
+    g_o[:] = geom
+    nx_o[:] = nx
+    ny_o[:] = ny
+    nz_o[:] = nz
+    uu_o[:] = uu
+    vv_o[:] = vv
+    mat_o[:] = mat
+
+
+def scene_intersect_full_pallas(ds, geom_types, geom_mats, o, d,
+                                n_tris: int, compat: bool = True,
+                                cull: bool = True, interpret: bool = False):
+    """One-launch fully-resolved closest hit. Returns the engine's
+    intersect() dict (t, normal, uv, mat_id, geom_id, hit)."""
+    n = o.shape[0]
+    blk = RROWS * 128
+    pad = (-n) % blk
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+    npad = n + pad
+    nb = npad // 128
+    comps = [o[:, 0].reshape(nb, 128), o[:, 1].reshape(nb, 128),
+             o[:, 2].reshape(nb, 128), d[:, 0].reshape(nb, 128),
+             d[:, 1].reshape(nb, 128), d[:, 2].reshape(nb, 128)]
+    n_chunks = int(ds.tri_mm.shape[0]) if n_tris else 0
+    kern = functools.partial(_kernel_full, geom_types=tuple(geom_types),
+                             geom_mats=tuple(geom_mats), n_tris=n_tris,
+                             n_chunks=n_chunks, cull=cull, compat=compat)
+    ray_spec = pl.BlockSpec((RROWS, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    outs = pl.pallas_call(
+        kern,
+        grid=(nb // RROWS,),
+        in_specs=[ray_spec] * 6 + [smem] * 5 + [full] + [smem] * 2 + [full],
+        out_specs=[ray_spec] * 8,
+        out_shape=[jax.ShapeDtypeStruct((nb, 128), jnp.float32)] * 8,
+        interpret=interpret,
+    )(*comps, ds.geom_transform, ds.geom_inverse, ds.geom_inv_transpose,
+      ds.geom_bb_min, ds.geom_bb_max,
+      ds.tri_moller, ds.tri_chunk_min, ds.tri_chunk_max, ds.tri_attr_t)
+    t, geom, nx, ny, nz, uu, vv, mat = [x.reshape(npad)[:n] for x in outs]
+    geom_i = geom.astype(jnp.int32)
+    hit = geom_i >= 0
+    return {
+        "t": t,
+        "normal": jnp.stack([nx, ny, nz], axis=-1),
+        "uv": jnp.stack([uu, vv], axis=-1),
+        "mat_id": mat.astype(jnp.int32),
+        "geom_id": geom_i,
+        "hit": hit,
+    }
 
 
 def scene_intersect_pallas(ds, geom_types, o, d, n_tris: int,

@@ -104,6 +104,11 @@ class DeviceScene:
     # resolution: v0,v1,v2 (9), n0,n1,n2 (9), uv0,uv1,uv2 (6), geom (1),
     # mat (1), pad (6)
     tri_attr: object            # (Tp, 32) f32
+    # lane-major transposed attr table for IN-KERNEL per-lane attribute
+    # resolution: row c*32+ch holds channel ch of chunk c's 128 triangles
+    # on the LANE axis, so a 128-wide take_along_axis resolves the
+    # winning triangle's attributes without any XLA gather/one-hot
+    tri_attr_t: object          # (C*32, 128) f32
     # packed material table for one-hot MXU lookups (XLA's fused gathers
     # run on the scalar unit; a one-hot matmul is ~10x faster at this N):
     # color (0:3), spec_color (3:6), spec_ex (6), refl (7), refr (8),
@@ -394,6 +399,15 @@ class Scene:
                 pad_mult(self.tri_geom, np.int32).astype(F)[:, None],
                 pad_mult(self.tri_mat, np.int32).astype(F)[:, None],
                 np.zeros((tp, 6), F)], axis=1).astype(F)),
+            tri_attr_t=j(np.ascontiguousarray(
+                np.concatenate([
+                    tv.reshape(tp, 9),
+                    pad_mult(self.tri_n).reshape(tp, 9),
+                    pad_mult(self.tri_uv).reshape(tp, 6),
+                    pad_mult(self.tri_geom, np.int32).astype(F)[:, None],
+                    np.zeros((tp, 7), F)], axis=1)
+                .reshape(tp // 128, 128, 32).transpose(0, 2, 1)
+                .reshape(tp // 128 * 32, 128))),
         )
 
     # static metadata used to build traced programs
