@@ -83,14 +83,17 @@ def main():
             ("bunny", None, False),
             ("room", None, False),
         ]:
-            c = RenderConfig(trace_depth=8, **svgf)
+            # mesh-heavy scenes: incoherent bounce rays favor the fused
+            # bounce megakernel (cornell headline runs without it — the
+            # 3-launch path pipelines better there; docs/PERF_NOTES.md)
+            c = RenderConfig(trace_depth=8, fuse_bounce=True, **svgf)
             m, _ = run_config(f"{args.scenes_dir}/{name}.txt", res,
                               args.frames, args.warmup, c)
             extras[name] = round(m, 3)
         # room.txt, animated camera, 1080p: full temporal reprojection loop
         c = RenderConfig(trace_depth=8, automate_camera=True,
                          camera_speed_x=0.02, camera_speed_theta=0.01,
-                         camera_speed_phi=0.015, **svgf)
+                         camera_speed_phi=0.015, fuse_bounce=True, **svgf)
         m, _ = run_config(f"{args.scenes_dir}/room.txt", (1920, 1080),
                           args.frames, args.warmup, c, automate=True)
         extras["room_1080p_animated"] = round(m, 3)

@@ -297,6 +297,11 @@ def make_trace_fn(scene, cfg, resolution):
     light_emissive = float(light_mat.emittance) > 0.0
     light_emit_color = np.asarray(light_mat.color, np.float32) * np.float32(
         light_mat.emittance)
+    light_analytic = scene.geom_types[light_geom] != MESH
+    # fully-fused bounce kernel: needs the NEE visibility target to be
+    # analytic (true in every shipped scene — OBJECT 0 is a cube light)
+    do_vis = cfg.shadow_ray and light_analytic and light_emissive
+    use_fused = cfg.fuse_bounce and ((not cfg.shadow_ray) or light_analytic)
 
     def trace(ds, cam, params, frame, primary_cache=None, cam_changed=None):
         """primary_cache/cam_changed enable primary-visibility caching: the
@@ -334,14 +339,59 @@ def make_trace_fn(scene, cfg, resolution):
 
         active = isect["hit"]
 
+        nb = n // 128
+
+        def plane(x):
+            return x.reshape(nb, 128)
+
+        def bounce_fused(carry, depth):
+            """Bounce body as ONE Pallas launch (shade + NEE visibility +
+            next closest-hit, ops/pallas/bounce.py); the only XLA work
+            per bounce is the texture-albedo gather."""
+            from ptdn_tpu.ops.pallas import bounce as BK
+
+            planes = carry
+            alb_skip = jnp.where(
+                (depth == 1) if (cfg.sep_color and cfg.denoise_enable)
+                else jnp.bool_(False), 1.0, 0.0)
+            do_next_f = (depth < cfg.trace_depth).astype(jnp.float32)
+            pv = jnp.concatenate([
+                ds.geom_translation[light_geom],
+                jnp.stack([params["light_radius"],
+                           params["shadow_intensity"], alb_skip,
+                           do_next_f, jnp.float32(0)])])
+            fd = (jnp.uint32(frame) + depth.astype(jnp.uint32)).reshape(())
+            out = BK.bounce_fused_pallas(
+                planes, pv, fd[None], ds, mats=_static_mats(scene),
+                shadow_ray=cfg.shadow_ray, reduce_var=cfg.reduce_var,
+                geom_types=scene.geom_types,
+                geom_mats=scene.geom_material_ids, n_tris=scene.n_tris,
+                light_geom=light_geom, do_vis=do_vis,
+                light_emit=light_emit_color, compat=cfg.compat,
+                interpret=_pallas_interpret())
+
+            def fetch_alb(_):
+                uv = jnp.stack([out[BK.B_UU].reshape(n),
+                                out[BK.B_VV].reshape(n)], axis=-1)
+                mat_id = out[BK.B_MAT].reshape(n).astype(jnp.int32)
+                nalb = albedo_from(ds, read_mat(ds, mat_id), uv,
+                                   cfg.show_texture)
+                return jnp.stack([plane(nalb[:, 0]), plane(nalb[:, 1]),
+                                  plane(nalb[:, 2])])
+
+            albp = jax.lax.cond(depth < cfg.trace_depth, fetch_alb,
+                                lambda _: planes[10:13], None)
+            next_in = jnp.concatenate([out[0:10], albp, out[10:19]],
+                                      axis=0)
+            return next_in, None
+
         def bounce_pallas(carry, depth):
-            """Bounce body with the fused shade kernel (pallas backend)."""
+            """Bounce body with the fused shade kernel (pallas backend;
+            fallback when the fully-fused kernel doesn't apply)."""
             from ptdn_tpu.ops.pallas import shade as SH
 
             (origin, direction, throughput, radiance, diffuse_flag, active,
              isect, alb) = carry
-
-            nb = n // 128
 
             def plane(x):
                 return x.reshape(nb, 128)
@@ -505,18 +555,43 @@ def make_trace_fn(scene, cfg, resolution):
             return (origin, direction, throughput, radiance, diffuse_flag,
                     active, isect, alb), None
 
-        carry = (origin, direction, throughput, radiance, diffuse_flag,
-                 active, isect, gb_albedo)
-        body = (bounce_pallas
-                if cfg.backend == "pallas" and n % (8 * 128) == 0
-                else bounce)
+        plane_ok = cfg.backend == "pallas" and n % (8 * 128) == 0
+        if plane_ok and use_fused:
+            carry = jnp.stack([
+                plane(origin[:, 0]), plane(origin[:, 1]),
+                plane(origin[:, 2]),
+                plane(direction[:, 0]), plane(direction[:, 1]),
+                plane(direction[:, 2]),
+                plane(isect["t"]),
+                plane(isect["normal"][:, 0]), plane(isect["normal"][:, 1]),
+                plane(isect["normal"][:, 2]),
+                plane(gb_albedo[:, 0]), plane(gb_albedo[:, 1]),
+                plane(gb_albedo[:, 2]),
+                plane(throughput[:, 0]), plane(throughput[:, 1]),
+                plane(throughput[:, 2]),
+                plane(radiance[:, 0]), plane(radiance[:, 1]),
+                plane(radiance[:, 2]),
+                plane(isect["mat_id"].astype(jnp.float32)),
+                plane(active.astype(jnp.float32)),
+                plane(diffuse_flag.astype(jnp.float32)),
+            ])
+            body = bounce_fused
+        else:
+            carry = (origin, direction, throughput, radiance, diffuse_flag,
+                     active, isect, gb_albedo)
+            body = bounce_pallas if plane_ok else bounce
         if cfg.trace_depth == 1:
             carry, _ = body(carry, jnp.int32(1))
         else:
             carry, _ = jax.lax.scan(
                 body, carry, jnp.arange(1, cfg.trace_depth + 1,
                                         dtype=jnp.int32))
-        radiance = carry[3]
+        if plane_ok and use_fused:
+            radiance = jnp.stack([carry[16].reshape(n),
+                                  carry[17].reshape(n),
+                                  carry[18].reshape(n)], axis=-1)
+        else:
+            radiance = carry[3]
 
         gbuffer = {
             "position": gb_position,

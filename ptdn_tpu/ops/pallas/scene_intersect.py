@@ -38,31 +38,32 @@ TCHUNK = 128
 TGROUP = 8
 
 
-def _vis_kernel(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
-                tf_r, inv_r, invt_r, gbbmin_r, gbbmax_r, tri_r, cmin_r,
-                cmax_r, lit_o,
-                *, geom_types, n_tris: int, n_chunks: int,
-                light_geom: int):
-    """Visibility-only variant: did the closest hit land on `light_geom`?
-
-    Any-hit semantics against the light distance: no normals, no triangle
-    index bookkeeping, and the chunk loop exits early once every
-    potentially-lit lane in the block is occluded — shadow rays are the
-    cheapest pass this way (NEE consumes only this boolean,
-    pathtrace.cu:374)."""
-    shape = (RROWS, 128)
-    ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
-    dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
+def light_visibility_tiles(o, d, vis_refs, shape, *, geom_types,
+                           n_tris: int, n_chunks: int, light_geom: int,
+                           nee_mask=None):
+    """Visibility-only closest hit on tiles: did the closest hit land on
+    `light_geom`? Any-hit semantics against the light distance: no
+    normals, no triangle index bookkeeping, and the chunk loop exits
+    early once every potentially-lit lane in the block is occluded —
+    shadow rays are the cheapest pass this way (NEE consumes only this
+    boolean, pathtrace.cu:374). `nee_mask` (f32, optional) pre-masks
+    lanes that don't carry a shadow ray so they can't keep the loop
+    alive. Returns the lit mask as f32."""
+    (tf_r, inv_r, invt_r, gbbmin_r, gbbmax_r, tri_r, cmin_r,
+     cmax_r) = vis_refs
+    ox, oy, oz = o
+    dx, dy, dz = d
 
     ta, ga, _, _, _ = _analytic_part(
         geom_types, tf_r, inv_r, invt_r, (gbbmin_r, gbbmax_r),
-        (ox, oy, oz), (dx, dy, dz), shape, want_normals=False)
+        o, d, shape, want_normals=False)
     # keep masks as f32 (bool vreg concat/any miscompile in Mosaic)
     lit = jnp.where(ga == float(light_geom), 1.0, 0.0)
+    if nee_mask is not None:
+        lit = lit * nee_mask
 
     if n_tris == 0:
-        lit_o[:] = lit
-        return
+        return lit
 
     idx = 1.0 / dx
     idy = 1.0 / dy
@@ -126,7 +127,21 @@ def _vis_kernel(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
         return c + 1, lit
 
     _, lit = jax.lax.while_loop(cond, body, (jnp.int32(0), lit))
-    lit_o[:] = lit
+    return lit
+
+
+def _vis_kernel(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
+                tf_r, inv_r, invt_r, gbbmin_r, gbbmax_r, tri_r, cmin_r,
+                cmax_r, lit_o,
+                *, geom_types, n_tris: int, n_chunks: int,
+                light_geom: int):
+    shape = (RROWS, 128)
+    o = (ox_r[:], oy_r[:], oz_r[:])
+    d = (dx_r[:], dy_r[:], dz_r[:])
+    refs = (tf_r, inv_r, invt_r, gbbmin_r, gbbmax_r, tri_r, cmin_r, cmax_r)
+    lit_o[:] = light_visibility_tiles(
+        o, d, refs, shape, geom_types=geom_types, n_tris=n_tris,
+        n_chunks=n_chunks, light_geom=light_geom)
 
 
 def light_visibility_pallas(ds, geom_types, o, d, n_tris: int,
@@ -547,21 +562,17 @@ def _mesh_attr_refine(tri_attr_t_ref, bt, bi, o, d, shape, n_tris: int,
     return t, mh, nx, ny, nz, uvx, uvy, m_geom
 
 
-def _kernel_full(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
-                 tf_r, inv_r, invt_r, gbbmin_r, gbbmax_r, tri_r,
-                 cmin_r, cmax_r, attr_r,
-                 t_o, g_o, nx_o, ny_o, nz_o, uu_o, vv_o, mat_o,
-                 *, geom_types, geom_mats, n_tris: int, n_chunks: int,
-                 cull: bool, compat: bool):
-    """Fully-resolved closest hit: analytic + mesh + attributes + merge
-    in ONE launch (the engine's intersect() contract, minus reshape)."""
-    shape = (RROWS, 128)
-    ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
-    dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
-
+def closest_hit_tiles(o, d, scene_refs, shape, *, geom_types, geom_mats,
+                      n_tris: int, n_chunks: int, cull: bool, compat: bool):
+    """Fully-resolved closest hit on tiles: analytic + mesh + attributes
+    + merge (the engine's intersect() contract). `scene_refs` is the
+    (tf, inv, invt, gbbmin, gbbmax, tri, cmin, cmax, attr) ref tuple.
+    Returns (t, geom, nx, ny, nz, uu, vv, mat) tiles."""
+    (tf_r, inv_r, invt_r, gbbmin_r, gbbmax_r, tri_r, cmin_r, cmax_r,
+     attr_r) = scene_refs
     ta, ga, anx, any_, anz = _analytic_part(
         geom_types, tf_r, inv_r, invt_r, (gbbmin_r, gbbmax_r),
-        (ox, oy, oz), (dx, dy, dz), shape)
+        o, d, shape)
     a_valid = ga >= 0.0
 
     if n_tris == 0:
@@ -571,12 +582,10 @@ def _kernel_full(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
         uu = jnp.zeros(shape, jnp.float32)
         vv = jnp.zeros(shape, jnp.float32)
     else:
-        bt, bi = _mesh_best(tri_r, cmin_r, cmax_r, (ox, oy, oz),
-                            (dx, dy, dz), ta, ga, shape, n_tris, n_chunks,
-                            cull)
+        bt, bi = _mesh_best(tri_r, cmin_r, cmax_r, o, d, ta, ga, shape,
+                            n_tris, n_chunks, cull)
         t_m, mh, mnx, mny, mnz, uvx, uvy, m_geom = _mesh_attr_refine(
-            attr_r, bt, bi, (ox, oy, oz), (dx, dy, dz), shape, n_tris,
-            n_chunks, compat)
+            attr_r, bt, bi, o, d, shape, n_tris, n_chunks, compat)
         mesh_wins = mh & (~a_valid | (t_m < ta))
         t = jnp.where(mesh_wins, t_m, jnp.where(a_valid, ta, -1.0))
         geom = jnp.where(mesh_wins, m_geom, jnp.where(a_valid, ga, -1.0))
@@ -590,6 +599,23 @@ def _kernel_full(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
     mat = jnp.zeros(shape, jnp.float32)
     for gi, mi in enumerate(geom_mats):
         mat = jnp.where(geom == float(gi), float(mi), mat)
+    return t, geom, nx, ny, nz, uu, vv, mat
+
+
+def _kernel_full(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
+                 tf_r, inv_r, invt_r, gbbmin_r, gbbmax_r, tri_r,
+                 cmin_r, cmax_r, attr_r,
+                 t_o, g_o, nx_o, ny_o, nz_o, uu_o, vv_o, mat_o,
+                 *, geom_types, geom_mats, n_tris: int, n_chunks: int,
+                 cull: bool, compat: bool):
+    shape = (RROWS, 128)
+    o = (ox_r[:], oy_r[:], oz_r[:])
+    d = (dx_r[:], dy_r[:], dz_r[:])
+    refs = (tf_r, inv_r, invt_r, gbbmin_r, gbbmax_r, tri_r, cmin_r, cmax_r,
+            attr_r)
+    t, geom, nx, ny, nz, uu, vv, mat = closest_hit_tiles(
+        o, d, refs, shape, geom_types=geom_types, geom_mats=geom_mats,
+        n_tris=n_tris, n_chunks=n_chunks, cull=cull, compat=compat)
     t_o[:] = t
     g_o[:] = geom
     nx_o[:] = nx

@@ -76,30 +76,26 @@ def _select_mat(mat_id, consts):
     return out
 
 
-def _kernel(inp, par_ref, fd_ref, out,
-            *, mats, shadow_ray: bool, reduce_var: bool, n_block: int):
-    shape = (RROWS, 128)
-    i = pl.program_id(0)
-
-    def ld(k):
-        return inp[k]
-
-    ox, oy, oz = ld(I_OX), ld(I_OY), ld(I_OZ)
-    dx, dy, dz = ld(I_DX), ld(I_DY), ld(I_DZ)
-    t = ld(I_T)
-    nx, ny, nz = ld(I_NX), ld(I_NY), ld(I_NZ)
-    ar, ag, ab = ld(I_AR), ld(I_AG), ld(I_AB)
-    tr, tg, tb = ld(I_TR), ld(I_TG), ld(I_TB)
-    rr, rg, rb = ld(I_RR), ld(I_RG), ld(I_RB)
-    mat = ld(I_MAT)
-    active = ld(I_ACT) > 0.5
-    diffuse_flag = ld(I_DIF) > 0.5
-
-    # ---- per-lane seed: initRand(idx, frame+depth) (pathtrace.cu:328) ----
-    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    lane = (i * (RROWS * 128) + row * 128 + col).astype(jnp.uint32)
-    seed = _tea(lane, jnp.full(shape, fd_ref[0, 0], jnp.uint32))
+def shade_tiles(tiles, seed, par, *, mats, shadow_ray: bool,
+                reduce_var: bool):
+    """The whole per-bounce shade body on [RROWS, 128] tiles: emissive
+    termination, albedo modulation, NEE disk sampling, scatterRay.
+    `tiles` is a dict keyed like the I_* plane names; `par` is the
+    (ltx, lty, ltz, lrad, sint, alb_skip) scalar tuple. Returns a dict
+    keyed like the O_* plane names (masks as f32). Shared by the
+    standalone shade kernel and the fused bounce kernel."""
+    ox, oy, oz = tiles["ox"], tiles["oy"], tiles["oz"]
+    dx, dy, dz = tiles["dx"], tiles["dy"], tiles["dz"]
+    t = tiles["t"]
+    nx, ny, nz = tiles["nx"], tiles["ny"], tiles["nz"]
+    ar, ag, ab = tiles["ar"], tiles["ag"], tiles["ab"]
+    tr, tg, tb = tiles["tr"], tiles["tg"], tiles["tb"]
+    rr, rg, rb = tiles["rr"], tiles["rg"], tiles["rb"]
+    mat = tiles["mat"]
+    active = tiles["act"] > 0.5
+    diffuse_flag = tiles["dif"] > 0.5
+    shape = ox.shape
+    (ltx, lty, ltz, lrad, sint, alb_skip_s) = par
 
     # ---- material constants (static tables) ----
     m_emit = _select_mat(mat, mats["emit"])
@@ -132,7 +128,7 @@ def _kernel(inp, par_ref, fd_ref, out,
     spz = ipz + 1e-4 * nz
 
     # ---- throughput *= albedo (pathtrace.cu:343-355) ----
-    alb_skip = par_ref[0, 5] > 0.5      # sepcolor && denoise && depth == 1
+    alb_skip = alb_skip_s > 0.5         # sepcolor && denoise && depth == 1
     apply_alb = active & ~alb_skip
     af = jnp.where(apply_alb, 1.0, 0.0)
     tr = tr * (1.0 + af * (ar - 1.0))
@@ -141,12 +137,10 @@ def _kernel(inp, par_ref, fd_ref, out,
 
     mat_is_diffuse = (m_refl < 1e-6) & (m_refr < 1e-6)
 
+    out = {}
     # ---- NEE shadow ray sampling (pathtrace.cu:284-297, 357-366) ----
     if shadow_ray:
         nee = active & mat_is_diffuse
-        ltx, lty, ltz = par_ref[0, 0], par_ref[0, 1], par_ref[0, 2]
-        lrad = par_ref[0, 3]
-        sint = par_ref[0, 4]
         tcx = ltx - spx
         tcy = lty - spy
         tcz = ltz - spz
@@ -185,22 +179,22 @@ def _kernel(inp, par_ref, fd_ref, out,
         lambert = jnp.maximum(0.0, sdx * nx + sdy * ny + sdz * nz)
         scale = sint / sdist2 * lambert
         neef = jnp.where(nee, 1.0, 0.0)
-        out[O_SDX] = sdx
-        out[O_SDY] = sdy
-        out[O_SDZ] = sdz
-        out[O_CR] = tr * scale * neef
-        out[O_CG] = tg * scale * neef
-        out[O_CB] = tb * scale * neef
-        out[O_NEE] = neef
+        out["sdx"] = sdx
+        out["sdy"] = sdy
+        out["sdz"] = sdz
+        out["cr"] = tr * scale * neef
+        out["cg"] = tg * scale * neef
+        out["cb"] = tb * scale * neef
+        out["nee"] = neef
     else:
         zero = jnp.zeros(shape, jnp.float32)
-        out[O_SDX] = zero
-        out[O_SDY] = zero
-        out[O_SDZ] = zero
-        out[O_CR] = zero
-        out[O_CG] = zero
-        out[O_CB] = zero
-        out[O_NEE] = zero
+        out["sdx"] = zero
+        out["sdy"] = zero
+        out["sdz"] = zero
+        out["cr"] = zero
+        out["cg"] = zero
+        out["cb"] = zero
+        out["nee"] = zero
 
     # ---- scatterRay (interactions.h:94-136) ----
     is_refr = m_refr != 0.0
@@ -265,20 +259,52 @@ def _kernel(inp, par_ref, fd_ref, out,
     ntg = tg * (1.0 + rf * (m_scg - 1.0))
     ntb = tb * (1.0 + rf * (m_scb - 1.0))
     actf = jnp.where(active, 1.0, 0.0)
-    out[O_DX] = actf * ndx + (1.0 - actf) * dx
-    out[O_DY] = actf * ndy + (1.0 - actf) * dy
-    out[O_DZ] = actf * ndz + (1.0 - actf) * dz
-    out[O_SPX] = actf * spx + (1.0 - actf) * ox
-    out[O_SPY] = actf * spy + (1.0 - actf) * oy
-    out[O_SPZ] = actf * spz + (1.0 - actf) * oz
-    out[O_TR] = jnp.where(active, ntr, tr)
-    out[O_TG] = jnp.where(active, ntg, tg)
-    out[O_TB] = jnp.where(active, ntb, tb)
-    out[O_RR] = rr
-    out[O_RG] = rg
-    out[O_RB] = rb
-    out[O_DIF] = jnp.where(diffuse_flag | (active & is_diffuse), 1.0, 0.0)
-    out[O_ACT] = jnp.where(active, 1.0, 0.0)
+    out["dx"] = actf * ndx + (1.0 - actf) * dx
+    out["dy"] = actf * ndy + (1.0 - actf) * dy
+    out["dz"] = actf * ndz + (1.0 - actf) * dz
+    out["spx"] = actf * spx + (1.0 - actf) * ox
+    out["spy"] = actf * spy + (1.0 - actf) * oy
+    out["spz"] = actf * spz + (1.0 - actf) * oz
+    out["tr"] = jnp.where(active, ntr, tr)
+    out["tg"] = jnp.where(active, ntg, tg)
+    out["tb"] = jnp.where(active, ntb, tb)
+    out["rr"] = rr
+    out["rg"] = rg
+    out["rb"] = rb
+    out["dif"] = jnp.where(diffuse_flag | (active & is_diffuse), 1.0, 0.0)
+    out["act"] = jnp.where(active, 1.0, 0.0)
+    return out
+
+
+_IN_KEYS = ("ox", "oy", "oz", "dx", "dy", "dz", "t", "nx", "ny", "nz",
+            "ar", "ag", "ab", "tr", "tg", "tb", "rr", "rg", "rb",
+            "mat", "act", "dif")
+_OUT_KEYS = ("dx", "dy", "dz", "spx", "spy", "spz", "tr", "tg", "tb",
+             "rr", "rg", "rb", "dif", "act", "sdx", "sdy", "sdz",
+             "cr", "cg", "cb", "nee")
+
+
+def lane_seed(block_index, fd, shape):
+    """Per-lane TEA seed: initRand(pixelIdx, frame+depth)
+    (pathtrace.cu:328) for ray block `block_index`."""
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    lane = (block_index * (shape[0] * 128) + row * 128 + col).astype(
+        jnp.uint32)
+    return _tea(lane, jnp.full(shape, fd, jnp.uint32))
+
+
+def _kernel(inp, par_ref, fd_ref, out,
+            *, mats, shadow_ray: bool, reduce_var: bool, n_block: int):
+    shape = (RROWS, 128)
+    i = pl.program_id(0)
+    tiles = {k: inp[j] for j, k in enumerate(_IN_KEYS)}
+    seed = lane_seed(i, fd_ref[0, 0], shape)
+    par = tuple(par_ref[0, j] for j in range(6))
+    res = shade_tiles(tiles, seed, par, mats=mats, shadow_ray=shadow_ray,
+                      reduce_var=reduce_var)
+    for j, k in enumerate(_OUT_KEYS):
+        out[j] = res[k]
 
 
 def shade_bounce_pallas(planes_in, params_vec, frame_plus_depth,

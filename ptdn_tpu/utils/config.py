@@ -70,6 +70,12 @@ class RenderConfig:
     # tan(fov/2) in reprojection, inverted moment alpha, ...). Fixing them
     # is allowed per-quirk later; parity tests run with compat=True.
     compat: bool = True
+    # fully-fused bounce megakernel (ops/pallas/bounce.py): shade + NEE
+    # visibility + next closest-hit in ONE Pallas launch. Wins on
+    # incoherent-ray micro-benches but loses ~2-3 ms/frame on the real
+    # cornell frame (worse grid pipelining at megakernel VMEM footprint),
+    # so it is opt-in. Requires backend="pallas" and an analytic NEE light.
+    fuse_bounce: bool = False
 
     def traced_params(self) -> Dict[str, Any]:
         """Continuous parameters as a traced float32 pytree."""

@@ -42,9 +42,10 @@ def test_golden_xla(name):
 
 
 @pytest.mark.parametrize("name", sorted(CONFIGS))
-def test_golden_pallas(name):
+@pytest.mark.parametrize("fused", [False, True])
+def test_golden_pallas(name, fused):
     g = np.load(os.path.join(GOLDEN, f"{name}.npz"))
-    left, right = _render("pallas", CONFIGS[name])
+    left, right = _render("pallas", dict(CONFIGS[name], fuse_bounce=fused))
     # boundary tie-flip pixels; the à-trous filter spreads each into its
     # dilated 5x5 neighborhood, so the SVGF config gets a larger budget
     frac_budget = 0.08 if "svgf" in name else 0.01
