@@ -28,3 +28,25 @@ def run(tag, fn):
 run("packed (9 gathers)", RP.back_projection_packed)
 run("packed2 (4 gathers)", RP.back_projection_packed2)
 run("window (1 gather, strided build)", RP.back_projection_window)
+run("stencil (no gathers; static cam)", RP.back_projection_stencil)
+run("auto (cond dispatch)", RP.back_projection_auto)
+
+# parity: stencil must equal window bit-for-bit when displacement <= 1.
+# identity view matrix reprojects pos->screen arbitrarily; instead build
+# positions whose reprojection IS the pixel center (displacement 0).
+ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+px = (xs + 0.5).astype(np.float32)
+py = (ys + 0.5).astype(np.float32)
+# invert: prevx = (-(vx/vz)*0.5+0.5)*w - 0.5 with viewmat=I (vz=z)
+z = -np.ones_like(px)          # view matrix has vm[2,2] = -1 -> vs_z = 1
+vx = -((px + 0.5) / w - 0.5) * 2.0
+vy = -((py + 0.5) / h - 0.5) * 2.0
+gb_c2 = dict(gb_c)
+gb_c2["position"] = jnp.asarray(np.stack([vx, vy, z], -1))
+a1 = RP.back_projection_window((w, h), color, gb_c2, gb_p, jnp.asarray(vm),
+                               ch, mh, hl, jnp.float32(0.2), jnp.float32(0.2))
+a2 = RP.back_projection_stencil((w, h), color, gb_c2, gb_p, jnp.asarray(vm),
+                                ch, mh, hl, jnp.float32(0.2), jnp.float32(0.2))
+for i, (x, y) in enumerate(zip(a1, a2)):
+    d = float(jnp.max(jnp.abs(x.astype(jnp.float32) - y.astype(jnp.float32))))
+    print(f"parity out[{i}]: max|diff| = {d}")

@@ -1,5 +1,8 @@
 """Compare fuse_bounce on/off per scene config (headline-style timing)."""
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import run_config
 from ptdn_tpu.utils.config import RenderConfig

@@ -21,6 +21,7 @@ they lower to XLA gathers over the (H, W) grid and fuse cleanly.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 LUM = jnp.asarray([0.2126, 0.7152, 0.0722], jnp.float32)
@@ -306,6 +307,115 @@ def back_projection_packed(res, current_color, curr_gb, prev_gb,
     variance = jnp.where(valid, var, 100.0)
     history_update = jnp.where(valid, ph.astype(jnp.int32) + 1, 1)
     return variance, color_acc, moment_acc, history_update
+
+
+def _reproj_base(res, pos, prev_viewmat):
+    """Shared prologue: reproject world position through the previous
+    view matrix to prev-frame pixel coords (denoise.cu:195-217, incl.
+    the reference's omitted tan(fov/2) quirk)."""
+    w, h = res
+    vs = pos @ prev_viewmat[:3, :3].T + prev_viewmat[:3, 3]
+    prevx = (-(vs[..., 0] / vs[..., 2]) * 0.5 + 0.5) * w - 0.5
+    prevy = (-(vs[..., 1] / vs[..., 2]) * 0.5 + 0.5) * h - 0.5
+    floorx = jnp.floor(prevx)
+    floory = jnp.floor(prevy)
+    fracx = prevx - floorx
+    fracy = prevy - floory
+    fx = floorx.astype(jnp.int32)
+    fy = floory.astype(jnp.int32)
+    base_valid = (floorx >= 0) & (floory >= 0) & (floorx < w) & (floory < h)
+    return fx, fy, fracx, fracy, base_valid
+
+
+def back_projection_stencil(res, current_color, curr_gb, prev_gb,
+                            prev_viewmat, color_history, moment_history,
+                            history_length, color_alpha_min,
+                            moment_alpha_min):
+    """back_projection specialized for |reprojected base - pixel| <= 1
+    (every static-camera frame, incl. float jitter around pixel centers,
+    and sub-pixel motion). The caller MUST gate on that bound
+    (back_projection_auto). Then every 3x3-window tap lies in a static
+    +-2 neighborhood, so the whole prev-frame fetch is 9 shared masks +
+    shifted-view FMAs — zero gathers (TPU gathers are count-bound at
+    ~140 M idx/s; this path replaces the 640K-row window gather and its
+    231 MB packed-table build). Tap values and math are identical to
+    back_projection_window, so results match bit-for-bit."""
+    w, h = res
+    pos = curr_gb["position"]
+    curr_geom = curr_gb["geom_id"]
+    curr_normal = curr_gb["normal"]
+    lum = luminance(current_color)
+    fx, fy, fracx, fracy, base_valid = _reproj_base(res, pos, prev_viewmat)
+
+    iy = jnp.arange(h, dtype=jnp.int32)[:, None]
+    ix = jnp.arange(w, dtype=jnp.int32)[None, :]
+    ey = jnp.clip(fy - iy, -1, 1)
+    ex = jnp.clip(fx - ix, -1, 1)
+
+    # same padding contract as back_projection_window: zeros, geom -1
+    pix = jnp.concatenate([
+        color_history.reshape(h, w, 3),
+        moment_history.reshape(h, w, 2),
+        history_length.reshape(h, w, 1).astype(jnp.float32),
+        prev_gb["normal"].reshape(h, w, 3),
+        prev_gb["geom_id"].reshape(h, w, 1).astype(jnp.float32),
+    ], axis=-1)
+    padded = jnp.pad(pix, ((2, 2), (2, 2), (0, 0)))
+    padded = padded.at[:2, :, 9].set(-1.0).at[-2:, :, 9].set(-1.0)
+    padded = padded.at[:, :2, 9].set(-1.0).at[:, -2:, 9].set(-1.0)
+
+    def shifted(oy, ox):
+        return jax.lax.slice(padded, (2 + oy, 2 + ox, 0),
+                             (2 + oy + h, 2 + ox + w, 10))
+
+    # one mask per base-offset cell, shared by all taps and channels;
+    # exactly one is hot per pixel under the gate
+    masks = {(a, b): ((ey == a) & (ex == b)).astype(jnp.float32)
+             for a in (-1, 0, 1) for b in (-1, 0, 1)}
+
+    geo_f = curr_geom.astype(jnp.float32)
+    taps = {}
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            vals = jnp.zeros((h, w, 10), jnp.float32)
+            for (a, b), m in masks.items():
+                vals = vals + m[..., None] * shifted(dy + a, dx + b)
+            qx = fx + dx
+            qy = fy + dy
+            inb = (qx >= 0) & (qx < w) & (qy >= 0) & (qy < h)
+            pg = vals[..., 9]
+            same = (pg != -1) & (pg == geo_f)
+            nd = jnp.linalg.norm(vals[..., 6:9] - curr_normal, axis=-1)
+            taps[(dy, dx)] = (vals, inb & same & (nd <= 0.1))
+
+    return _accumulate_from_taps(taps, base_valid, fracx, fracy,
+                                 current_color, curr_geom, history_length,
+                                 lum, color_alpha_min, moment_alpha_min)
+
+
+def back_projection_auto(res, current_color, curr_gb, prev_gb,
+                         prev_viewmat, color_history, moment_history,
+                         history_length, color_alpha_min, moment_alpha_min):
+    """Runtime dispatch: the gather-free stencil path when every
+    reprojected base is within +-1 pixel of its own position (static or
+    sub-pixel camera motion — the common interactive case), else the
+    single-gather packed-window path (arbitrary motion)."""
+    import jax
+
+    w, h = res
+    fx, fy, _, _, _ = _reproj_base(res, curr_gb["position"], prev_viewmat)
+    iy = jnp.arange(h, dtype=jnp.int32)[:, None]
+    ix = jnp.arange(w, dtype=jnp.int32)[None, :]
+    near = (jnp.max(jnp.abs(fy - iy)) <= 1) & (jnp.max(jnp.abs(fx - ix)) <= 1)
+
+    args = (current_color, curr_gb, prev_gb, prev_viewmat, color_history,
+            moment_history, history_length, color_alpha_min,
+            moment_alpha_min)
+    return jax.lax.cond(
+        near,
+        lambda a: back_projection_stencil(res, *a),
+        lambda a: back_projection_window(res, *a),
+        args)
 
 
 def back_projection_packed2(res, current_color, curr_gb, prev_gb,

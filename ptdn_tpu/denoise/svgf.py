@@ -53,9 +53,9 @@ def make_denoise_fn(cfg, resolution):
         }
         # temporal off forces alpha = 1.0 (denoise.cu:360-361)
         if cfg.temporal_enable:
-            from ptdn_tpu.denoise.reproject import back_projection_window
+            from ptdn_tpu.denoise.reproject import back_projection_auto
 
-            bp = (back_projection_window if cfg.backend == "pallas"
+            bp = (back_projection_auto if cfg.backend == "pallas"
                   else back_projection)
             variance, color_acc, moment_acc, hist_up = bp(
                 (w, h), raw_color, gbuffer, prev_gb, state["prev_view"],

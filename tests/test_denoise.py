@@ -206,3 +206,54 @@ def test_backprojection_packed_parity():
         for x, y, name in zip(a, b, ["var", "color", "moment", "hist"]):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        atol=1e-5, err_msg=name)
+
+
+def test_backprojection_stencil_parity():
+    """The gather-free stencil path must match back_projection_window
+    BIT-exactly when every reprojected base is within +-1 px (its gate),
+    and back_projection_auto must dispatch to it."""
+    from ptdn_tpu.denoise.reproject import (back_projection_auto,
+                                            back_projection_stencil,
+                                            back_projection_window)
+
+    rng = np.random.default_rng(7)
+    h = w = 24
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    # positions whose reprojection through vm (vs_z = -z = 1) lands
+    # sub-pixel-jittered around each pixel center
+    jx = rng.uniform(-0.45, 0.45, size=(h, w)).astype(np.float32)
+    jy = rng.uniform(-0.45, 0.45, size=(h, w)).astype(np.float32)
+    px = xs + 0.5 + jx
+    py = ys + 0.5 + jy
+    z = -np.ones_like(px, np.float32)
+    vx = -((px + 0.5) / w - 0.5) * 2.0
+    vy = -((py + 0.5) / h - 0.5) * 2.0
+    vm = np.eye(4, dtype=np.float32)
+    vm[2, 2] = -1.0
+    gb_c = {
+        "position": jnp.asarray(np.stack([vx, vy, z], -1).astype(np.float32)),
+        "normal": jnp.asarray(rng.normal(size=(h, w, 3)).astype(np.float32)),
+        "geom_id": jnp.asarray(rng.integers(-1, 3, size=(h, w)).astype(np.int32)),
+    }
+    gb_p = {
+        "position": gb_c["position"],
+        # noise well below the nd<=0.1 validity threshold so ULP-level
+        # fusion differences (eager vs lax.cond-compiled) can't flip taps
+        "normal": jnp.asarray(np.asarray(gb_c["normal"])
+                              + 0.01 * rng.normal(size=(h, w, 3)).astype(np.float32)),
+        "geom_id": jnp.asarray(rng.integers(-1, 3, size=(h, w)).astype(np.int32)),
+    }
+    color = jnp.asarray(rng.uniform(size=(h, w, 3)).astype(np.float32))
+    ch = jnp.asarray(rng.uniform(size=(h, w, 3)).astype(np.float32))
+    mh = jnp.asarray(rng.uniform(size=(h, w, 2)).astype(np.float32))
+    hl = jnp.asarray(rng.integers(0, 6, size=(h, w)).astype(np.int32))
+    args = ((w, h), color, gb_c, gb_p, jnp.asarray(vm), ch, mh, hl,
+            jnp.float32(0.2), jnp.float32(0.2))
+    a = back_projection_window(*args)
+    b = back_projection_stencil(*args)
+    for x, y, name in zip(a, b, ["var", "color", "moment", "hist"]):
+        assert np.array_equal(np.asarray(x), np.asarray(y)), name
+    c = back_projection_auto(*args)
+    for x, y, name in zip(a, c, ["var", "color", "moment", "hist"]):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=1e-5, err_msg=name)
