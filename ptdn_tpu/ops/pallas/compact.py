@@ -1,0 +1,153 @@
+"""Pallas TPU kernels: per-row stream compaction for sparse gathers.
+
+TPU gathers are count-bound (~140 M idx/s, benchmarks/micro_gather.py),
+and in the cornell frame only 3-8% of lanes per bounce hit a textured
+material — yet the XLA albedo fetch pays for all 640K lanes. These
+kernels compact the valid indices of each 128-lane row into its first
+`cap` slots so the XLA gather touches nb*cap indices instead of nb*128
+(4x fewer at cap=32), then route the gathered values back per lane.
+
+Mechanics (all vreg-local VPU ops; no scalar loops):
+  * in-row inclusive prefix sum of the valid mask: 7 Hillis-Steele
+    roll+add passes over the 128 lanes;
+  * routing: slot p's source lane is found by branchless binary search
+    (7 take_along_axis probes) over the monotone per-lane key
+    2*prefix - valid, which is odd exactly at valid lanes (the p-th
+    valid lane is the first with key >= 2p+1);
+  * rows whose valid count exceeds `cap` raise a per-row overflow flag;
+    the caller must lax.cond to an uncompacted gather when any row
+    overflows (correctness for texture-dense scenes/views).
+
+Used by the per-bounce texture-albedo fetch (reference semantics:
+Texture::getColor at every scatter, reference src/pathtrace.cu:343-354);
+generic over any sparse index plane.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RROWS = 8
+
+
+def _row_prefix_and_count(valid_i, shape):
+    """Inclusive per-row prefix sum and per-row total of an i32 0/1
+    plane (128 lanes)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    inc = valid_i
+    for k in (1, 2, 4, 8, 16, 32, 64):
+        shifted = jnp.roll(inc, k, axis=1)
+        inc = inc + jnp.where(lane >= k, shifted, 0)
+    # inclusive prefix at lane 127 = row total; broadcast it
+    total = jnp.broadcast_to(
+        jax.lax.slice(inc, (0, 127), shape), shape)
+    return inc, total
+
+
+def _compact_kernel(idx_ref, cidx_o, slot_o, cnt_o, *, cap):
+    shape = (RROWS, 128)
+    idx = idx_ref[:]
+    valid_i = jnp.where(idx >= 0, 1, 0)
+    inc, total = _row_prefix_and_count(valid_i, shape)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+
+    # key is non-decreasing along the row and odd (= 2p+1) exactly at
+    # the p-th valid lane; lower_bound(2p+1) finds slot p's source lane
+    key = 2 * inc - valid_i
+    target = 2 * lane + 1
+    pos = jnp.zeros(shape, jnp.int32)
+    for k in (64, 32, 16, 8, 4, 2, 1):
+        probe = jnp.minimum(pos + (k - 1), 127)
+        kv = jnp.take_along_axis(key, probe, axis=1)
+        pos = jnp.where(kv < target, pos + k, pos)
+    src = jnp.minimum(pos, 127)
+    cidx = jnp.take_along_axis(jnp.maximum(idx, 0), src, axis=1)
+
+    cidx_o[:] = jnp.where(lane < jnp.minimum(total, cap), cidx, 0)
+    slot_o[:] = jnp.where(valid_i > 0, inc - 1, -1)
+    cnt_o[:] = total
+
+
+def compact_rows_pallas(idx, cap, *, interpret=False):
+    """idx: (R, 128) i32, -1 = invalid lane. Returns
+    (cidx (R, 128) i32 [only [:, :cap] meaningful, rest 0],
+     slot (R, 128) i32 [-1 for invalid lanes],
+     count (R, 128) i32 [row valid-count broadcast]).
+    R % 8 == 0."""
+    r = idx.shape[0]
+    assert r % RROWS == 0
+    spec = pl.BlockSpec((RROWS, 128), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_compact_kernel, cap=cap),
+        grid=(r // RROWS,),
+        in_specs=[spec],
+        out_specs=[spec, spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((r, 128), jnp.int32)] * 3,
+        interpret=interpret,
+    )(idx)
+
+
+def _uncompact_kernel(vals_ref, slot_ref, out_ref):
+    slot = slot_ref[:]
+    picked = jnp.take_along_axis(vals_ref[:], jnp.maximum(slot, 0), axis=1)
+    out_ref[:] = jnp.where(slot >= 0, picked, 0)
+
+
+def uncompact_rows_pallas(vals, slot, *, interpret=False):
+    """vals: (R, 128) i32 per-row compacted values (gathered texels),
+    slot: (R, 128) i32 per-lane slot (-1 = invalid). Returns (R, 128)
+    i32 with each lane's value (0 where invalid)."""
+    r = vals.shape[0]
+    spec = pl.BlockSpec((RROWS, 128), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _uncompact_kernel,
+        grid=(r // RROWS,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((r, 128), jnp.int32),
+        interpret=interpret,
+    )(vals, slot)
+
+
+def sparse_gather(table_i32, idx, cap, *, tiers=(1, 2), interpret=False):
+    """Gather table_i32[(T,) i32] at idx[(R,128) i32, -1 = skip], paying
+    only R*cap' scalar-gather indices where cap' is the smallest of
+    cap*tiers[...] that no 128-lane row's valid count exceeds (chosen
+    per call at runtime via nested lax.cond); falls back to the full
+    R*128 gather if all tiers overflow. Returns (R, 128) i32 (0 at
+    invalid lanes).
+
+    The tiers absorb per-bounce clustering differences (early-bounce
+    rays cluster on textured surfaces; deep bounces scatter) without
+    per-depth recompilation — the same program serves every scan
+    iteration."""
+    max_cap = cap * tiers[-1]
+    cidx, slot, count = compact_rows_pallas(idx, max_cap,
+                                            interpret=interpret)
+    cmax = jnp.max(count)
+
+    def make_fast(c):
+        def fast(_):
+            sub = jax.lax.slice(cidx, (0, 0), (cidx.shape[0], c))
+            g = jnp.take(table_i32, sub.reshape(-1)).reshape(sub.shape)
+            g = jnp.pad(g, ((0, 0), (0, 128 - c)))
+            return uncompact_rows_pallas(g, slot, interpret=interpret)
+        return fast
+
+    def slow(_):
+        g = jnp.take(table_i32, jnp.maximum(idx, 0).reshape(-1))
+        return jnp.where(idx >= 0, g.reshape(idx.shape), 0)
+
+    out = slow
+    for t in reversed(tiers):
+        c = cap * t
+        out = (lambda nxt, c: lambda _: jax.lax.cond(
+            cmax <= c, make_fast(c), nxt, None))(out, c)
+    return out(None)

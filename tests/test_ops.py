@@ -236,3 +236,47 @@ def test_view_matrix_roundtrip():
     # a point 1 unit along view maps to z = +1 (basis column convention)
     pv = vm @ np.array([*(fr.position + fr.view), 1.0], np.float32)
     np.testing.assert_allclose(pv[:3], [0, 0, 1], atol=1e-5)
+
+
+def test_sparse_gather_compaction():
+    """Row-compaction sparse gather (ops/pallas/compact.py) must equal a
+    dense masked gather for every density regime, including per-row
+    overflow into higher tiers and the dense fallback."""
+    import jax
+    import jax.numpy as jnp
+
+    from ptdn_tpu.ops.pallas.compact import sparse_gather
+
+    rng = np.random.default_rng(3)
+    T = 5000
+    table = jnp.asarray(
+        rng.integers(0, 2 ** 24, size=(T,), dtype=np.int64).astype(np.int32))
+    R = 16
+    for frac in (0.0, 0.05, 0.3, 0.8, 1.0):
+        mask = rng.random((R, 128)) < frac
+        idxn = np.where(mask, rng.integers(0, T, size=(R, 128)), -1)
+        idx = jnp.asarray(idxn.astype(np.int32))
+        out = np.asarray(sparse_gather(table, idx, 8, interpret=True))
+        ref = np.where(mask, np.asarray(table)[np.maximum(idxn, 0)], 0)
+        assert np.array_equal(out, ref), f"frac={frac}"
+
+
+def test_compact_rows_slots():
+    """compact_rows_pallas routing: slot p of each row holds the p-th
+    valid lane's value; slots beyond the count are zero."""
+    import jax.numpy as jnp
+
+    from ptdn_tpu.ops.pallas.compact import compact_rows_pallas
+
+    rng = np.random.default_rng(4)
+    idxn = np.where(rng.random((8, 128)) < 0.2,
+                    rng.integers(0, 999, size=(8, 128)), -1)
+    cidx, slot, count = compact_rows_pallas(
+        jnp.asarray(idxn.astype(np.int32)), 128, interpret=True)
+    cidx, slot, count = map(np.asarray, (cidx, slot, count))
+    for r in range(8):
+        vals = idxn[r][idxn[r] >= 0]
+        assert count[r, 0] == len(vals)
+        assert np.array_equal(cidx[r, :len(vals)], vals)
+        assert (cidx[r, len(vals):] == 0).all()
+        assert np.array_equal(slot[r][idxn[r] >= 0], np.arange(len(vals)))
