@@ -259,6 +259,51 @@ def _make_pallas_intersector(scene, cfg):
     return intersect
 
 
+def make_intersector_tex(scene, cfg, cap: int):
+    """Pallas closest hit with fused texel-index compaction: one launch
+    returns the isect dict AND per-row compacted texel indices for the
+    sparse albedo gather (no separate compact kernel, no XLA index
+    math). Only valid on the pallas backend with N % 1024 == 0."""
+    from ptdn_tpu.ops.pallas.scene_intersect import (
+        scene_intersect_full_tex_pallas)
+
+    geom_types = scene.geom_types
+    geom_mats = scene.geom_material_ids
+    n_tris = scene.n_tris
+    mat_texids = tuple(m.texid for m in scene.materials)
+    tex_whs = tuple((t.shape[1], t.shape[0]) for t in scene.textures)
+    interp = _pallas_interpret()
+
+    def intersect_tex(ds, o, d):
+        return scene_intersect_full_tex_pallas(
+            ds, geom_types, geom_mats, o, d, n_tris, mat_texids, tex_whs,
+            cap, compat=cfg.compat, interpret=interp)
+
+    return intersect_tex
+
+
+def albedo_from_comp(ds, mv, comp4, cap: int):
+    """Albedo via pre-compacted texel indices from the intersect kernel
+    (make_intersector_tex). comp4 = (tidx, cidx, slot, count), each
+    (R, 128) i32. Matches albedo_from(..., sparse_cap=cap) exactly."""
+    import jax
+
+    from ptdn_tpu.ops.pallas.compact import gather_compacted
+
+    tidx, cidx, slot, count = comp4
+    packed = gather_compacted(
+        jax.lax.bitcast_convert_type(ds.tex_flat_u32, jnp.int32),
+        cidx, slot, count, cap, idx_fallback=tidx,
+        interpret=_pallas_interpret())
+    n = tidx.shape[0] * 128
+    packed = packed.reshape(n)
+    rgb = jnp.stack([packed & 0xFF, (packed >> 8) & 0xFF,
+                     (packed >> 16) & 0xFF], axis=-1)
+    tex = rgb.astype(jnp.float32) * COLORDIVIDOR
+    textured = (slot.reshape(n) >= 0) | (tidx.reshape(n) >= 0)
+    return jnp.where(textured[..., None], tex, mv["color"])
+
+
 def make_light_visibility(scene, cfg, light_geom: int = 0):
     """Shadow-ray visibility of geom `light_geom` — the only thing the
     NEE block consumes (pathtrace.cu:374): did the closest hit land on the
@@ -342,6 +387,8 @@ def make_trace_fn(scene, cfg, resolution):
     # backend only, needs 1024-aligned lane count
     scap = 32 if (cfg.backend == "pallas" and show_tex
                   and (w * h) % 1024 == 0) else 0
+    intersect_tex = (make_intersector_tex(scene, cfg, scap)
+                     if scap else None)
 
     def trace(ds, cam, params, frame, primary_cache=None, cam_changed=None):
         """primary_cache/cam_changed enable primary-visibility caching: the
@@ -496,11 +543,19 @@ def make_trace_fn(scene, cfg, resolution):
 
             def do_next(args):
                 spawn, new_dir, active, isect, alb = args
-                nxt = intersect(ds, spawn, new_dir)
                 # fetch the NEXT bounce's albedo here (skipped at max
-                # depth — saves one whole gather site per frame)
-                nalb = albedo_from(ds, read_mat(ds, nxt["mat_id"]),
-                                   nxt["uv"], show_tex, sparse_cap=scap)
+                # depth — saves one whole gather site per frame); the
+                # tex intersector emits pre-compacted texel indices so
+                # the fetch gathers only ~cap indices per 128-lane row
+                if scap:
+                    nxt, comp4 = intersect_tex(ds, spawn, new_dir)
+                    nalb = albedo_from_comp(
+                        ds, read_mat(ds, nxt["mat_id"]), comp4, scap)
+                else:
+                    nxt = intersect(ds, spawn, new_dir)
+                    nalb = albedo_from(ds, read_mat(ds, nxt["mat_id"]),
+                                       nxt["uv"], show_tex,
+                                       sparse_cap=scap)
                 return spawn, new_dir, active & nxt["hit"], nxt, nalb
 
             def no_next(args):

@@ -33,6 +33,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 RROWS = 8
+# gather-width tiers: runtime picks the smallest cap*tier no row exceeds;
+# producers must retain cap*TIERS[-1] compacted slots
+TIERS = (1, 2)
 
 
 def _row_prefix_and_count(valid_i, shape):
@@ -49,9 +52,10 @@ def _row_prefix_and_count(valid_i, shape):
     return inc, total
 
 
-def _compact_kernel(idx_ref, cidx_o, slot_o, cnt_o, *, cap):
-    shape = (RROWS, 128)
-    idx = idx_ref[:]
+def compact_tile(idx, cap, shape):
+    """In-kernel per-row compaction of one (S, 128) tile. idx: i32,
+    -1 = invalid. Returns (cidx, slot, count) tiles (see module doc).
+    Usable from any Pallas kernel body (pure vreg ops)."""
     valid_i = jnp.where(idx >= 0, 1, 0)
     inc, total = _row_prefix_and_count(valid_i, shape)
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -68,9 +72,14 @@ def _compact_kernel(idx_ref, cidx_o, slot_o, cnt_o, *, cap):
     src = jnp.minimum(pos, 127)
     cidx = jnp.take_along_axis(jnp.maximum(idx, 0), src, axis=1)
 
-    cidx_o[:] = jnp.where(lane < jnp.minimum(total, cap), cidx, 0)
-    slot_o[:] = jnp.where(valid_i > 0, inc - 1, -1)
-    cnt_o[:] = total
+    cidx = jnp.where(lane < jnp.minimum(total, cap), cidx, 0)
+    slot = jnp.where(valid_i > 0, inc - 1, -1)
+    return cidx, slot, total
+
+
+def _compact_kernel(idx_ref, cidx_o, slot_o, cnt_o, *, cap):
+    cidx_o[:], slot_o[:], cnt_o[:] = compact_tile(
+        idx_ref[:], cap, (RROWS, 128))
 
 
 def compact_rows_pallas(idx, cap, *, interpret=False):
@@ -116,7 +125,40 @@ def uncompact_rows_pallas(vals, slot, *, interpret=False):
     )(vals, slot)
 
 
-def sparse_gather(table_i32, idx, cap, *, tiers=(1, 2), interpret=False):
+def gather_compacted(table_i32, cidx, slot, count, cap, *, tiers=TIERS,
+                     idx_fallback=None, interpret=False):
+    """XLA side of the sparse gather given already-compacted rows (from
+    compact_rows_pallas or a fused producer kernel): tiered take + slot
+    routing. `idx_fallback` (R,128 i32, -1 invalid) enables the dense
+    fallback tier when rows can exceed cap*tiers[-1]; pass None when
+    overflow is impossible (then the last tier is used unconditionally).
+    """
+    cmax = jnp.max(count)
+
+    def make_fast(c):
+        def fast(_):
+            sub = jax.lax.slice(cidx, (0, 0), (cidx.shape[0], c))
+            g = jnp.take(table_i32, sub.reshape(-1)).reshape(sub.shape)
+            g = jnp.pad(g, ((0, 0), (0, 128 - c)))
+            return uncompact_rows_pallas(g, slot, interpret=interpret)
+        return fast
+
+    if idx_fallback is not None:
+        def out(_):
+            g = jnp.take(table_i32,
+                         jnp.maximum(idx_fallback, 0).reshape(-1))
+            return jnp.where(idx_fallback >= 0,
+                             g.reshape(idx_fallback.shape), 0)
+    else:
+        out = make_fast(cap * tiers[-1])
+    for t in reversed(tiers if idx_fallback is not None else tiers[:-1]):
+        c = cap * t
+        out = (lambda nxt, c: lambda _: jax.lax.cond(
+            cmax <= c, make_fast(c), nxt, None))(out, c)
+    return out(None)
+
+
+def sparse_gather(table_i32, idx, cap, *, tiers=TIERS, interpret=False):
     """Gather table_i32[(T,) i32] at idx[(R,128) i32, -1 = skip], paying
     only R*cap' scalar-gather indices where cap' is the smallest of
     cap*tiers[...] that no 128-lane row's valid count exceeds (chosen
@@ -131,23 +173,6 @@ def sparse_gather(table_i32, idx, cap, *, tiers=(1, 2), interpret=False):
     max_cap = cap * tiers[-1]
     cidx, slot, count = compact_rows_pallas(idx, max_cap,
                                             interpret=interpret)
-    cmax = jnp.max(count)
-
-    def make_fast(c):
-        def fast(_):
-            sub = jax.lax.slice(cidx, (0, 0), (cidx.shape[0], c))
-            g = jnp.take(table_i32, sub.reshape(-1)).reshape(sub.shape)
-            g = jnp.pad(g, ((0, 0), (0, 128 - c)))
-            return uncompact_rows_pallas(g, slot, interpret=interpret)
-        return fast
-
-    def slow(_):
-        g = jnp.take(table_i32, jnp.maximum(idx, 0).reshape(-1))
-        return jnp.where(idx >= 0, g.reshape(idx.shape), 0)
-
-    out = slow
-    for t in reversed(tiers):
-        c = cap * t
-        out = (lambda nxt, c: lambda _: jax.lax.cond(
-            cmax <= c, make_fast(c), nxt, None))(out, c)
-    return out(None)
+    return gather_compacted(table_i32, cidx, slot, count, cap,
+                            tiers=tiers, idx_fallback=idx,
+                            interpret=interpret)

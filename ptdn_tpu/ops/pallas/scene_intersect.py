@@ -626,6 +626,118 @@ def _kernel_full(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
     mat_o[:] = mat
 
 
+def tex_index_tiles(uu, vv, mat, shape, *, mat_texids, tex_whs,
+                    atlas_hw):
+    """In-kernel texel-index computation (Texture::getColor addressing,
+    reference src/sceneStructs.h:208-221): static mat->texid and
+    texid->(w,h) select chains, V-flipped nearest-texel address into the
+    flat packed-atlas layout. Returns flat i32 index, -1 for lanes whose
+    material is untextured."""
+    hm, wm = atlas_hw
+    texid = jnp.full(shape, -1.0, jnp.float32)
+    for mi, tid in enumerate(mat_texids):
+        if tid >= 0:
+            texid = jnp.where(mat == float(mi), float(tid), texid)
+    w = jnp.zeros(shape, jnp.float32)
+    h = jnp.zeros(shape, jnp.float32)
+    for tid, (tw, th) in enumerate(tex_whs):
+        w = jnp.where(texid == float(tid), float(tw), w)
+        h = jnp.where(texid == float(tid), float(th), h)
+    x = jnp.minimum(w * uu, w - 1.0).astype(jnp.int32)
+    y = jnp.minimum(h * (1.0 - vv), h - 1.0).astype(jnp.int32)
+    x = jnp.clip(x, 0, wm - 1)
+    y = jnp.clip(y, 0, hm - 1)
+    flat = texid.astype(jnp.int32) * (hm * wm) + y * wm + x
+    return jnp.where(texid >= 0.0, flat, -1)
+
+
+def _kernel_full_tex(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
+                     tf_r, inv_r, invt_r, gbbmin_r, gbbmax_r, tri_r,
+                     cmin_r, cmax_r, attr_r,
+                     t_o, g_o, nx_o, ny_o, nz_o, uu_o, vv_o, mat_o,
+                     ti_o, ci_o, sl_o, cn_o,
+                     *, geom_types, geom_mats, n_tris: int, n_chunks: int,
+                     cull: bool, compat: bool, mat_texids, tex_whs,
+                     atlas_hw, cap: int):
+    """_kernel_full plus fused texel-index compaction: emits the flat
+    texel index (-1 untextured), per-row compacted indices, slots and
+    counts (ops/pallas/compact.py) so the XLA albedo fetch gathers only
+    ~cap indices per 128-lane row instead of 128."""
+    from ptdn_tpu.ops.pallas.compact import compact_tile
+
+    shape = (RROWS, 128)
+    o = (ox_r[:], oy_r[:], oz_r[:])
+    d = (dx_r[:], dy_r[:], dz_r[:])
+    refs = (tf_r, inv_r, invt_r, gbbmin_r, gbbmax_r, tri_r, cmin_r, cmax_r,
+            attr_r)
+    t, geom, nx, ny, nz, uu, vv, mat = closest_hit_tiles(
+        o, d, refs, shape, geom_types=geom_types, geom_mats=geom_mats,
+        n_tris=n_tris, n_chunks=n_chunks, cull=cull, compat=compat)
+    t_o[:] = t
+    g_o[:] = geom
+    nx_o[:] = nx
+    ny_o[:] = ny
+    nz_o[:] = nz
+    uu_o[:] = uu
+    vv_o[:] = vv
+    mat_o[:] = mat
+    tidx = tex_index_tiles(uu, vv, mat, shape, mat_texids=mat_texids,
+                           tex_whs=tex_whs, atlas_hw=atlas_hw)
+    ti_o[:] = tidx
+    # retain cap*TIERS[-1] slots: the consumer's runtime tier dispatch
+    # (gather_compacted) may read past the base cap
+    from ptdn_tpu.ops.pallas.compact import TIERS
+    ci_o[:], sl_o[:], cn_o[:] = compact_tile(tidx, cap * TIERS[-1], shape)
+
+
+def scene_intersect_full_tex_pallas(ds, geom_types, geom_mats, o, d,
+                                    n_tris: int, mat_texids, tex_whs,
+                                    cap: int, compat: bool = True,
+                                    cull: bool = True,
+                                    interpret: bool = False):
+    """scene_intersect_full_pallas plus fused texel-index compaction.
+    Returns (isect dict, (tidx, cidx, slot, count) as (nb,128) i32)."""
+    n = o.shape[0]
+    assert n % (RROWS * 128) == 0
+    nb = n // 128
+    comps = [o[:, 0].reshape(nb, 128), o[:, 1].reshape(nb, 128),
+             o[:, 2].reshape(nb, 128), d[:, 0].reshape(nb, 128),
+             d[:, 1].reshape(nb, 128), d[:, 2].reshape(nb, 128)]
+    n_chunks = int(ds.tri_mm.shape[0]) if n_tris else 0
+    atlas_hw = (int(ds.tex_atlas.shape[1]), int(ds.tex_atlas.shape[2]))
+    kern = functools.partial(
+        _kernel_full_tex, geom_types=tuple(geom_types),
+        geom_mats=tuple(geom_mats), n_tris=n_tris, n_chunks=n_chunks,
+        cull=cull, compat=compat, mat_texids=tuple(mat_texids),
+        tex_whs=tuple(tex_whs), atlas_hw=atlas_hw, cap=cap)
+    ray_spec = pl.BlockSpec((RROWS, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    outs = pl.pallas_call(
+        kern,
+        grid=(nb // RROWS,),
+        in_specs=[ray_spec] * 6 + [smem] * 5 + [full] + [smem] * 2 + [full],
+        out_specs=[ray_spec] * 12,
+        out_shape=[jax.ShapeDtypeStruct((nb, 128), jnp.float32)] * 8
+        + [jax.ShapeDtypeStruct((nb, 128), jnp.int32)] * 4,
+        interpret=interpret,
+    )(*comps, ds.geom_transform, ds.geom_inverse, ds.geom_inv_transpose,
+      ds.geom_bb_min, ds.geom_bb_max,
+      ds.tri_moller, ds.tri_chunk_min, ds.tri_chunk_max, ds.tri_attr_t)
+    t, geom, nx, ny, nz, uu, vv, mat = [x.reshape(n) for x in outs[:8]]
+    geom_i = geom.astype(jnp.int32)
+    isect = {
+        "t": t,
+        "normal": jnp.stack([nx, ny, nz], axis=-1),
+        "uv": jnp.stack([uu, vv], axis=-1),
+        "mat_id": mat.astype(jnp.int32),
+        "geom_id": geom_i,
+        "hit": geom_i >= 0,
+    }
+    return isect, tuple(outs[8:])
+
+
 def scene_intersect_full_pallas(ds, geom_types, geom_mats, o, d,
                                 n_tris: int, compat: bool = True,
                                 cull: bool = True, interpret: bool = False):
