@@ -77,6 +77,88 @@ def compact_tile(idx, cap, shape):
     return cidx, slot, total
 
 
+def tile_route(valid_i, shape):
+    """Tile-WIDE compaction routing over an (S, 128) tile: valid lanes
+    get consecutive global slots in row-major order. Returns
+    (slot [S,128] i32 global slot or -1, K [scalar] total count,
+     route) where `route` feeds tile_gather_compact/tile_uncompact.
+
+    Two phases (vreg gathers compose only when the inner index is
+    row-invariant, so the cross-row move uses a collision-free 8-way
+    select — see gather_table_groups's rationale in texgather.py):
+      phase 1: per-row compaction (binary-search routing, compact_tile);
+      phase 2: output position p reads phase-1 row r(p) (the row whose
+      cumulative range contains p) at in-row position p - C_r."""
+    srows = shape[0]
+    inc, _ = _row_prefix_and_count(valid_i, shape)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+
+    # per-row totals, broadcast [S,128]; exclusive cross-row offsets C_s
+    rowtot = jnp.broadcast_to(jax.lax.slice(inc, (0, 127), shape), shape)
+    csum = rowtot
+    for k in (1, 2, 4):
+        csum = csum + jnp.where(row >= k, jnp.roll(csum, k, axis=0), 0)
+    cs = csum - rowtot                       # exclusive cumsum down rows
+    k_total = jnp.max(csum)
+
+    slot = jnp.where(valid_i > 0, (inc - 1) + cs, -1)
+
+    # phase-1 source lanes (per-row binary search, as compact_tile)
+    key = 2 * inc - valid_i
+    target = 2 * lane + 1
+    pos = jnp.zeros(shape, jnp.int32)
+    for k in (64, 32, 16, 8, 4, 2, 1):
+        probe = jnp.minimum(pos + (k - 1), 127)
+        kv = jnp.take_along_axis(key, probe, axis=1)
+        pos = jnp.where(kv < target, pos + k, pos)
+    src1 = jnp.minimum(pos, 127)
+
+    # phase-2: output position p = 128*s + j -> source row r(p), in-row
+    # position p - C_r
+    p = row * 128 + lane
+    r_idx = jnp.zeros(shape, jnp.int32)
+    l_idx = jnp.zeros(shape, jnp.int32)
+    for r in range(srows):
+        # [1,128] slices: Mosaic can't broadcast in sublanes AND lanes
+        cr = jax.lax.slice(cs, (r, 0), (r + 1, 128))
+        tr = jax.lax.slice(rowtot, (r, 0), (r + 1, 128))
+        inr = (p >= cr) & (p < cr + tr)
+        r_idx = jnp.where(inr, r, r_idx)
+        l_idx = jnp.where(inr, p - cr, l_idx)
+    return slot, k_total, (src1, r_idx, jnp.clip(l_idx, 0, 127))
+
+
+def tile_gather_compact(plane, route, shape):
+    """Gather `plane`'s valid lanes into row-major compact order using a
+    route from tile_route. Positions >= K hold garbage (callers mask by
+    row count)."""
+    src1, r_idx, l_idx = route
+    p1 = jnp.take_along_axis(plane, src1, axis=1)
+    out = jnp.zeros(shape, plane.dtype)
+    for r in range(shape[0]):
+        rowv = jnp.broadcast_to(
+            jax.lax.slice(p1, (r, 0), (r + 1, 128)), shape)
+        g = jnp.take_along_axis(rowv, l_idx, axis=1)
+        out = jnp.where(r_idx == r, g, out)
+    return out
+
+
+def tile_uncompact(cplane, slot, shape, fill):
+    """Route compact-order values back to their original lanes: lane
+    with slot p reads cplane[p >> 7, p & 127]; slot -1 lanes get
+    `fill`."""
+    sr = jax.lax.shift_right_logical(jnp.maximum(slot, 0), 7)
+    sl = jnp.maximum(slot, 0) & 127
+    out = jnp.full(shape, fill, cplane.dtype)
+    for r in range(shape[0]):
+        rowv = jnp.broadcast_to(
+            jax.lax.slice(cplane, (r, 0), (r + 1, 128)), shape)
+        g = jnp.take_along_axis(rowv, sl, axis=1)
+        out = jnp.where((slot >= 0) & (sr == r), g, out)
+    return out
+
+
 def _compact_kernel(idx_ref, cidx_o, slot_o, cnt_o, *, cap):
     cidx_o[:], slot_o[:], cnt_o[:] = compact_tile(
         idx_ref[:], cap, (RROWS, 128))
