@@ -46,11 +46,16 @@ def init_frame_state(resolution) -> Dict[str, jnp.ndarray]:
     return state
 
 
-def make_frame_step(scene, cfg, resolution=None):
+def make_frame_step(scene, cfg, resolution=None, trace_override=None,
+                    denoise_cfg=None):
+    """trace_override / denoise_cfg support the multi-chip path
+    (parallel/sharded.py): the pallas trace runs under shard_map with a
+    per-shard row offset, while the denoiser (whose stencils need
+    cross-shard halos) runs the XLA implementation under GSPMD."""
     res = tuple(resolution or scene.resolution)
     w, h = res
-    trace = make_trace_fn(scene, cfg, res)
-    denoise = make_denoise_fn(cfg, res)
+    trace = trace_override or make_trace_fn(scene, cfg, res)
+    denoise = make_denoise_fn(denoise_cfg or cfg, res)
 
     def step(state, ds, cam, view_mat, params, frame,
              cam_changed=jnp.bool_(True)

@@ -145,11 +145,24 @@ def albedo_from(ds, mv, uv, show_texture: bool = True,
     return jnp.where(textured[..., None], tex, mv["color"])
 
 
+_PALLAS_INTERPRET_OVERRIDE = None
+
+
+def set_pallas_interpret(value):
+    """Force (True/False) or restore auto-detection (None) of Pallas
+    interpret mode. Used by the multi-chip builder when the mesh runs on
+    virtual CPU devices while the process default backend is a TPU."""
+    global _PALLAS_INTERPRET_OVERRIDE
+    _PALLAS_INTERPRET_OVERRIDE = value
+
+
 def _pallas_interpret() -> bool:
     """Run Pallas kernels interpreted when the default device is CPU
     (the virtual-device test path)."""
     import jax
 
+    if _PALLAS_INTERPRET_OVERRIDE is not None:
+        return _PALLAS_INTERPRET_OVERRIDE
     dev = jax.config.jax_default_device
     if dev is not None:
         return dev.platform == "cpu"
@@ -353,7 +366,7 @@ def _static_mats(scene):
     }
 
 
-def make_trace_fn(scene, cfg, resolution):
+def make_trace_fn(scene, cfg, resolution, full_height=None):
     """Build trace(ds, cam, params, frame_u32) -> (radiance (N,3), gbuffer).
 
     `radiance` is the raw 1-spp estimate (accumulation-over-frames happens
@@ -366,6 +379,13 @@ def make_trace_fn(scene, cfg, resolution):
     read_mat = make_mat_reader(cfg)
     w, h = resolution
     n = w * h
+    n_real = n
+    # pallas plane kernels need 1024-aligned lane counts; pad the ray
+    # batch and slice results at return (odd resolutions like 600x600
+    # previously fell back to the slow XLA bounce path, and multi-chip
+    # row shards are rarely aligned)
+    lane_pad = (-n) % 1024 if cfg.backend == "pallas" else 0
+    n = n + lane_pad
     light_geom = 0   # reference hardcodes geoms[0] (pathtrace.cu:360-361)
     light_visible = make_light_visibility(scene, cfg, light_geom)
     # the shadow-hit material is geom 0's material — static
@@ -385,24 +405,42 @@ def make_trace_fn(scene, cfg, resolution):
     show_tex = cfg.show_texture and len(scene.textures) > 0
     # sparse texel fetch via row compaction (see albedo_from): pallas
     # backend only, needs 1024-aligned lane count
-    scap = 32 if (cfg.backend == "pallas" and show_tex
-                  and (w * h) % 1024 == 0) else 0
+    scap = 32 if (cfg.backend == "pallas" and show_tex) else 0
     intersect_tex = (make_intersector_tex(scene, cfg, scap)
                      if scap else None)
 
-    def trace(ds, cam, params, frame, primary_cache=None, cam_changed=None):
+    def trace(ds, cam, params, frame, primary_cache=None, cam_changed=None,
+              row0=None):
         """primary_cache/cam_changed enable primary-visibility caching: the
         first hit is a deterministic function of the camera, so a static
         camera reuses last frame's intersection + albedo (one whole
         intersect pass + a texture fetch saved). Pass primary_cache=None to
-        always recompute (the oracle path)."""
+        always recompute (the oracle path). `row0` (traced, optional):
+        this invocation covers image rows [row0, row0+h) of a taller
+        sharded image — offsets pixel coords and RNG lane seeds so a
+        multi-chip shard reproduces the single-chip variate streams."""
         import jax
 
-        origin, direction = generate_camera_rays(cam, (w, h))
+        origin, direction = generate_camera_rays(cam, (w, h), row0=row0,
+                                                 full_height=full_height)
+        lane0 = (jnp.uint32(0) if row0 is None
+                 else jnp.asarray(row0, jnp.uint32) * jnp.uint32(w))
+        if lane_pad:
+            origin = jnp.concatenate(
+                [origin, jnp.full((lane_pad, 3), 1e7, origin.dtype)])
+            direction = jnp.concatenate(
+                [direction,
+                 jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
+                                  (lane_pad, 3)).astype(direction.dtype)])
+            if primary_cache is not None:
+                primary_cache = {
+                    k: jnp.concatenate(
+                        [v, jnp.zeros((lane_pad,) + v.shape[1:], v.dtype)])
+                    for k, v in primary_cache.items()}
         throughput = jnp.ones((n, 3))
         radiance = jnp.zeros((n, 3))
         diffuse_flag = jnp.zeros(n, bool)
-        lane = jnp.arange(n, dtype=jnp.uint32)
+        lane = jnp.arange(n, dtype=jnp.uint32) + lane0
 
         def compute_primary(_):
             isect = intersect(ds, origin, direction)
@@ -452,7 +490,8 @@ def make_trace_fn(scene, cfg, resolution):
                            do_next_f, jnp.float32(0)])])
             fd = (jnp.uint32(frame) + depth.astype(jnp.uint32)).reshape(())
             out = BK.bounce_fused_pallas(
-                planes, pv, fd[None], ds, mats=_static_mats(scene),
+                planes, pv, jnp.stack([fd, lane0]), ds,
+                mats=_static_mats(scene),
                 shadow_ray=cfg.shadow_ray, reduce_var=cfg.reduce_var,
                 geom_types=scene.geom_types,
                 geom_mats=scene.geom_material_ids, n_tris=scene.n_tris,
@@ -512,7 +551,8 @@ def make_trace_fn(scene, cfg, resolution):
                            jnp.float32(0), jnp.float32(0)])])
             fd = (jnp.uint32(frame) + depth.astype(jnp.uint32)).reshape(())
             out = SH.shade_bounce_pallas(
-                planes, pv, fd[None], _static_mats(scene), cfg.shadow_ray,
+                planes, pv, jnp.stack([fd, lane0]), _static_mats(scene),
+                cfg.shadow_ray,
                 cfg.reduce_var, interpret=_pallas_interpret())
 
             def up(k):
@@ -698,6 +738,10 @@ def make_trace_fn(scene, cfg, resolution):
             "ialbedo": gb_ialbedo,
             "geom_id": gb_geom,
         }
+        if lane_pad:
+            radiance = radiance[:n_real]
+            gbuffer = {k: v[:n_real] for k, v in gbuffer.items()}
+            primary = {k: v[:n_real] for k, v in primary.items()}
         return radiance, gbuffer, primary
 
     return trace

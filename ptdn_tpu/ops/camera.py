@@ -103,17 +103,23 @@ class OrbitCamera:
                            pixel_length=self.pixel_length)
 
 
-def generate_camera_rays(cam_pytree, resolution: Tuple[int, int]):
+def generate_camera_rays(cam_pytree, resolution: Tuple[int, int], row0=None,
+                         full_height=None):
     """generateRayFromCamera (pathtrace.cu:187-208), flattened to (N, 3)
-    in index = x + y*W order."""
+    in index = x + y*W order. `row0` (traced, optional) offsets the pixel
+    rows: a multi-chip shard generates only ITS rows of a `full_height`-
+    row image (the pixel-grid center uses the GLOBAL height)."""
     import jax.numpy as jnp
 
     w, h = resolution
+    hc = full_height if full_height is not None else h
     x = jnp.arange(w, dtype=jnp.float32)[None, :]
     y = jnp.arange(h, dtype=jnp.float32)[:, None]
+    if row0 is not None:
+        y = y + jnp.asarray(row0, jnp.float32)
     plx, ply = cam_pytree["pixel_length"][0], cam_pytree["pixel_length"][1]
     dx = (x - (w * 0.5 - 0.5)) * plx
-    dy = (y - (h * 0.5 - 0.5)) * ply
+    dy = (y - (hc * 0.5 - 0.5)) * ply
     d = (cam_pytree["view"][None, None, :]
          - cam_pytree["right"][None, None, :] * dx[..., None]
          - cam_pytree["up"][None, None, :] * dy[..., None])

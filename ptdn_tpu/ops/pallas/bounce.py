@@ -33,7 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ptdn_tpu.ops.pallas.scene_intersect import (closest_hit_tiles,
                                                  light_visibility_tiles)
-from ptdn_tpu.ops.pallas.shade import _IN_KEYS, lane_seed, shade_tiles
+from ptdn_tpu.ops.pallas.shade import (_IN_KEYS, _fd2, lane_seed,
+                                       shade_tiles)
 
 RROWS = 8
 N_BIN = 22
@@ -53,7 +54,7 @@ def _kernel(inp, par_ref, fd_ref,
     shape = (RROWS, 128)
     i = pl.program_id(0)
     tiles = {k: inp[j] for j, k in enumerate(_IN_KEYS)}
-    seed = lane_seed(i, fd_ref[0, 0], shape)
+    seed = lane_seed(i, fd_ref[0, 0], shape, fd_ref[0, 1])
     par = tuple(par_ref[0, j] for j in range(6))
 
     res = shade_tiles(tiles, seed, par, mats=mats, shadow_ray=shadow_ray,
@@ -150,14 +151,14 @@ def bounce_fused_pallas(planes_in, params_vec, frame_plus_depth, ds,
         in_specs=[plane_in_spec,
                   pl.BlockSpec((1, 8), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
-                  pl.BlockSpec((1, 1), lambda i: (0, 0),
+                  pl.BlockSpec((1, 2), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
                   smem, smem, smem, smem, smem, full, smem, smem, full],
         out_specs=pl.BlockSpec((N_BOUT, RROWS, 128), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N_BOUT, nb, 128), jnp.float32),
         interpret=interpret,
-    )(planes_in, params_vec.reshape(1, 8), frame_plus_depth.reshape(1, 1),
+    )(planes_in, params_vec.reshape(1, 8), _fd2(frame_plus_depth),
       ds.geom_transform, ds.geom_inverse, ds.geom_inv_transpose,
       ds.geom_bb_min, ds.geom_bb_max, ds.tri_moller,
       ds.tri_chunk_min, ds.tri_chunk_max, ds.tri_attr_t)

@@ -284,13 +284,15 @@ _OUT_KEYS = ("dx", "dy", "dz", "spx", "spy", "spz", "tr", "tg", "tb",
              "cr", "cg", "cb", "nee")
 
 
-def lane_seed(block_index, fd, shape):
+def lane_seed(block_index, fd, shape, base=0):
     """Per-lane TEA seed: initRand(pixelIdx, frame+depth)
-    (pathtrace.cu:328) for ray block `block_index`."""
+    (pathtrace.cu:328) for ray block `block_index`. `base` is the global
+    lane offset of this kernel invocation's first lane (nonzero on
+    multi-chip shards, parallel/sharded.py)."""
     row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     lane = (block_index * (shape[0] * 128) + row * 128 + col).astype(
-        jnp.uint32)
+        jnp.uint32) + jnp.asarray(base, jnp.uint32)
     return _tea(lane, jnp.full(shape, fd, jnp.uint32))
 
 
@@ -299,12 +301,20 @@ def _kernel(inp, par_ref, fd_ref, out,
     shape = (RROWS, 128)
     i = pl.program_id(0)
     tiles = {k: inp[j] for j, k in enumerate(_IN_KEYS)}
-    seed = lane_seed(i, fd_ref[0, 0], shape)
+    seed = lane_seed(i, fd_ref[0, 0], shape, fd_ref[0, 1])
     par = tuple(par_ref[0, j] for j in range(6))
     res = shade_tiles(tiles, seed, par, mats=mats, shadow_ray=shadow_ray,
                       reduce_var=reduce_var)
     for j, k in enumerate(_OUT_KEYS):
         out[j] = res[k]
+
+
+def _fd2(frame_plus_depth):
+    """(1|2,) u32 -> (1, 2) [frame+depth, lane_base] SMEM payload."""
+    v = frame_plus_depth.reshape(-1)
+    if v.shape[0] == 1:
+        v = jnp.concatenate([v, jnp.zeros((1,), v.dtype)])
+    return v.reshape(1, 2)
 
 
 def shade_bounce_pallas(planes_in, params_vec, frame_plus_depth,
@@ -323,7 +333,7 @@ def shade_bounce_pallas(planes_in, params_vec, frame_plus_depth,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((N_OUT, RROWS, 128), lambda i: (0, i, 0),
@@ -331,5 +341,5 @@ def shade_bounce_pallas(planes_in, params_vec, frame_plus_depth,
         out_shape=jax.ShapeDtypeStruct((N_OUT, nb, 128), jnp.float32),
         interpret=interpret,
     )(planes_in, params_vec.reshape(1, 8),
-      frame_plus_depth.reshape(1, 1))
+      _fd2(frame_plus_depth))
     return out

@@ -37,6 +37,50 @@ def state_shardings(mesh, state):
     return out
 
 
+def _make_sharded_trace(scene, cfg, res, mesh):
+    """The pallas trace under shard_map: each chip traces its own row
+    shard (rays never leave their chip — the tracer is embarrassingly
+    row-parallel), with the shard's row offset threaded into pixel
+    coords and RNG lane seeds so per-pixel results are bit-identical to
+    the single-chip program. Pallas kernels have no GSPMD partitioning
+    rule, so shard_map (explicit SPMD) is the idiomatic wrapper."""
+    import jax
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ptdn_tpu.engine.wavefront import make_trace_fn
+    from ptdn_tpu.parallel.mesh import ROW_AXIS
+
+    w, h = res
+    h_local = h // mesh.size
+    trace_local = make_trace_fn(scene, cfg, (w, h_local),
+                                full_height=h)
+
+    row = P(ROW_AXIS)
+    rep = P()
+    pc_specs = {k: row for k in ("t", "normal", "uv", "mat_id", "geom_id",
+                                 "hit", "albedo")}
+    gb_specs = {k: row for k in ("position", "normal", "albedo",
+                                 "ialbedo", "geom_id")}
+
+    def body(ds, cam, params, frame, pcache, camch):
+        r0 = jax.lax.axis_index(ROW_AXIS) * h_local
+        return trace_local(ds, cam, params, frame, primary_cache=pcache,
+                           cam_changed=camch, row0=r0)
+
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(rep, rep, rep, rep, pc_specs, rep),
+        out_specs=(row, gb_specs, pc_specs),
+        check_rep=False)
+
+    def trace(ds, cam, params, frame, primary_cache=None,
+              cam_changed=None):
+        return sharded(ds, cam, params, frame, primary_cache, cam_changed)
+
+    return trace
+
+
 def make_sharded_step(scene, cfg, resolution=None, mesh=None, n_devices=None):
     """Build (jitted_step, initial_sharded_state, mesh)."""
     mesh = mesh or make_mesh(n_devices)
@@ -44,7 +88,22 @@ def make_sharded_step(scene, cfg, resolution=None, mesh=None, n_devices=None):
     if res[1] % mesh.size != 0:
         raise ValueError(
             f"image height {res[1]} must divide across {mesh.size} devices")
-    step = make_frame_step(scene, cfg, res)
+    if cfg.backend == "pallas":
+        import dataclasses
+
+        from ptdn_tpu.engine.wavefront import set_pallas_interpret
+
+        if all(d.platform == "cpu" for d in mesh.devices.flat):
+            set_pallas_interpret(True)
+        trace_sh = _make_sharded_trace(scene, cfg, res, mesh)
+        # the denoiser's stencils need cross-shard halos: run the XLA
+        # implementation under GSPMD (the partitioner inserts the halo
+        # collectives); same math as the pallas kernels to float level
+        dn_cfg = dataclasses.replace(cfg, backend="xla")
+        step = make_frame_step(scene, cfg, res, trace_override=trace_sh,
+                               denoise_cfg=dn_cfg)
+    else:
+        step = make_frame_step(scene, cfg, res)
     state0 = init_frame_state(res)
     st_shard = state_shardings(mesh, state0)
     rep = replicated(mesh)

@@ -77,3 +77,38 @@ def test_uneven_height_rejected(cpu_mesh, scene):
     cfg = RenderConfig()
     with pytest.raises(ValueError):
         make_sharded_step(scene, cfg, (48, 31), mesh=cpu_mesh)
+
+
+def test_sharded_pallas_trace_matches_single_device(cpu_mesh, scene):
+    """backend="pallas" multi-chip: the trace runs under shard_map with
+    per-shard row offsets threaded into pixel coords and RNG lane seeds
+    — the RAW (left) image must match the single-device pallas render
+    per pixel; the denoised output (XLA denoiser under GSPMD vs pallas
+    kernels single-chip) matches to float tolerance."""
+    from ptdn_tpu.engine.wavefront import set_pallas_interpret
+
+    cfg = RenderConfig(denoise_enable=True, temporal_enable=True,
+                       spatial_enable=True, trace_depth=3, atrous_nlevel=3,
+                       backend="pallas")
+    ds, cam, vm, params = _inputs(scene, cfg)
+
+    try:
+        cpu0 = jax.devices("cpu")[0]
+        with jax.default_device(cpu0):
+            step1 = jax.jit(make_frame_step(scene, cfg, RES))
+            st1 = init_frame_state(RES)
+            for f in range(2):
+                st1, l1, r1 = step1(st1, ds, cam, vm, params,
+                                    jnp.uint32(f), jnp.bool_(f == 0))
+
+        stepN, stN, _ = make_sharded_step(scene, cfg, RES, mesh=cpu_mesh)
+        for f in range(2):
+            stN, lN, rN = stepN(stN, ds, cam, vm, params, jnp.uint32(f),
+                                jnp.bool_(f == 0))
+    finally:
+        set_pallas_interpret(None)
+
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(lN),
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(rN),
+                               atol=1e-3, rtol=1e-4)
