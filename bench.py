@@ -78,15 +78,15 @@ def main():
 
     if args.all:
         extras = {}
-        for name, res, auto in [
-            ("diamond", None, False),
-            ("bunny", None, False),
+        for name, res, fuse in [
+            ("diamond", None, True),
+            ("bunny", None, True),
             ("room", None, False),
         ]:
-            # mesh-heavy scenes: incoherent bounce rays favor the fused
-            # bounce megakernel (cornell headline runs without it — the
-            # 3-launch path pipelines better there; docs/PERF_NOTES.md)
-            c = RenderConfig(trace_depth=8, fuse_bounce=True, **svgf)
+            # fused bounce megakernel wins on diamond/bunny (incoherent
+            # bounce rays), loses slightly on room and cornell — measured
+            # per scene (docs/PERF_NOTES.md)
+            c = RenderConfig(trace_depth=8, fuse_bounce=fuse, **svgf)
             m, _ = run_config(f"{args.scenes_dir}/{name}.txt", res,
                               args.frames, args.warmup, c)
             extras[name] = round(m, 3)
