@@ -81,7 +81,7 @@ def main():
         for name, res, fuse in [
             ("diamond", None, True),
             ("bunny", None, True),
-            ("room", None, False),
+            ("room", None, False),   # room: 3-launch path ~2% faster
         ]:
             # fused bounce megakernel wins on diamond/bunny (incoherent
             # bounce rays), loses slightly on room and cornell — measured

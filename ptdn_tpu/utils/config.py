@@ -71,11 +71,12 @@ class RenderConfig:
     # is allowed per-quirk later; parity tests run with compat=True.
     compat: bool = True
     # fully-fused bounce megakernel (ops/pallas/bounce.py): shade + NEE
-    # visibility + next closest-hit in ONE Pallas launch. Wins on
-    # incoherent-ray micro-benches but loses ~2-3 ms/frame on the real
-    # cornell frame (worse grid pipelining at megakernel VMEM footprint),
-    # so it is opt-in. Requires backend="pallas" and an analytic NEE light.
-    fuse_bounce: bool = False
+    # visibility + next closest-hit in ONE Pallas launch. Once the
+    # texture fetch went sparse the launch/glue savings outweigh the
+    # megakernel's scheduling penalty on every scene except room
+    # (cornell 43.0->37.9 ms, diamond/bunny win, room -2%): default on.
+    # Requires backend="pallas" and an analytic NEE light.
+    fuse_bounce: bool = True
 
     def traced_params(self) -> Dict[str, Any]:
         """Continuous parameters as a traced float32 pytree."""
