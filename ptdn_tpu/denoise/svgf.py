@@ -39,10 +39,12 @@ def init_denoise_state(resolution) -> Dict[str, jnp.ndarray]:
     }
 
 
-def make_denoise_fn(cfg, resolution):
+def make_denoise_fn(cfg, resolution, interpret=None):
     """Build denoise(state, raw_color, gbuffer, view_mat, params)
-    -> (output, new_state). Static structure from cfg; sigmas/alphas traced."""
+    -> (output, new_state). Static structure from cfg; sigmas/alphas traced.
+    `interpret`: Pallas interpret mode (None = auto-detect at build)."""
     w, h = resolution
+    interp_override = interpret
 
     def denoise(state, raw_color, gbuffer, view_mat, params
                 ) -> Tuple[jnp.ndarray, Dict]:
@@ -84,7 +86,8 @@ def make_denoise_fn(cfg, resolution):
                 from ptdn_tpu.ops.pallas.atrous import (atrous_level_pallas,
                                                         pack_static_planes)
 
-                interp = _pallas_interpret()
+                interp = (_pallas_interpret() if interp_override is None
+                          else interp_override)
                 static_planes, static_halo = pack_static_planes(
                     gbuffer, max_level=cfg.atrous_nlevel)
             src = color_history

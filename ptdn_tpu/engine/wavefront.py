@@ -103,7 +103,7 @@ def make_mat_reader(cfg):
 
 
 def albedo_from(ds, mv, uv, show_texture: bool = True,
-                sparse_cap: int = 0):
+                sparse_cap: int = 0, interpret=None):
     """albedo_of given an already-read material view. Untextured lanes
     sample texel (0,0): coherent indices speed the gather ~20%.
     show_texture=False is the reference's SHOW_TEXTURE=0 compile flag.
@@ -135,7 +135,8 @@ def albedo_from(ds, mv, uv, show_texture: bool = True,
         packed = sparse_gather(
             jax.lax.bitcast_convert_type(ds.tex_flat_u32, jnp.int32),
             flat.reshape(-1, 128), sparse_cap,
-            interpret=_pallas_interpret()).reshape(flat.shape)
+            interpret=(_pallas_interpret() if interpret is None
+                       else interpret)).reshape(flat.shape)
         rgb = jnp.stack([packed & 0xFF, (packed >> 8) & 0xFF,
                          (packed >> 16) & 0xFF], axis=-1)
         tex = rgb.astype(jnp.float32) * COLORDIVIDOR
@@ -181,7 +182,7 @@ def _mesh_mode(scene, cfg) -> str:
     return "brute" if scene.n_tris <= BRUTE_FORCE_MAX_TRIS else "bvh"
 
 
-def make_intersector(scene, cfg):
+def make_intersector(scene, cfg, interpret=None):
     """Build the scene-specialized closest-hit function.
 
     Returns intersect(ds, o, d) -> dict(t, point-less; normal, uv, mat_id,
@@ -196,7 +197,7 @@ def make_intersector(scene, cfg):
     has_mesh = any(t == MESH for t in geom_types)
 
     if cfg.backend == "pallas":
-        return _make_pallas_intersector(scene, cfg)
+        return _make_pallas_intersector(scene, cfg, interpret=interpret)
 
     def intersect(ds, o, d) -> Dict[str, jnp.ndarray]:
         n = o.shape[0]
@@ -251,7 +252,7 @@ def make_intersector(scene, cfg):
     return intersect
 
 
-def _make_pallas_intersector(scene, cfg):
+def _make_pallas_intersector(scene, cfg, interpret=None):
     """One-launch fully-resolved Pallas scene kernel: analytic + mesh +
     attribute resolution + exact glm refine + merge all happen in-kernel
     (scene_intersect_full_pallas), so there is no XLA gather/one-hot
@@ -262,7 +263,7 @@ def _make_pallas_intersector(scene, cfg):
     geom_types = scene.geom_types
     geom_mats = scene.geom_material_ids
     n_tris = scene.n_tris
-    interp = _pallas_interpret()
+    interp = _pallas_interpret() if interpret is None else interpret
 
     def intersect(ds, o, d) -> Dict[str, jnp.ndarray]:
         return scene_intersect_full_pallas(ds, geom_types, geom_mats, o, d,
@@ -272,7 +273,7 @@ def _make_pallas_intersector(scene, cfg):
     return intersect
 
 
-def make_intersector_tex(scene, cfg, cap: int):
+def make_intersector_tex(scene, cfg, cap: int, interpret=None):
     """Pallas closest hit with fused texel-index compaction: one launch
     returns the isect dict AND per-row compacted texel indices for the
     sparse albedo gather (no separate compact kernel, no XLA index
@@ -285,7 +286,7 @@ def make_intersector_tex(scene, cfg, cap: int):
     n_tris = scene.n_tris
     mat_texids = tuple(m.texid for m in scene.materials)
     tex_whs = tuple((t.shape[1], t.shape[0]) for t in scene.textures)
-    interp = _pallas_interpret()
+    interp = _pallas_interpret() if interpret is None else interpret
 
     def intersect_tex(ds, o, d):
         return scene_intersect_full_tex_pallas(
@@ -295,7 +296,7 @@ def make_intersector_tex(scene, cfg, cap: int):
     return intersect_tex
 
 
-def albedo_from_comp(ds, mv, comp4, cap: int):
+def albedo_from_comp(ds, mv, comp4, cap: int, interpret=None):
     """Albedo via pre-compacted texel indices from the intersect kernel
     (make_intersector_tex). comp4 = (tidx, cidx, slot, count), each
     (R, 128) i32. Matches albedo_from(..., sparse_cap=cap) exactly."""
@@ -307,7 +308,8 @@ def albedo_from_comp(ds, mv, comp4, cap: int):
     packed = gather_compacted(
         jax.lax.bitcast_convert_type(ds.tex_flat_u32, jnp.int32),
         cidx, slot, count, cap, idx_fallback=tidx,
-        interpret=_pallas_interpret())
+        interpret=(_pallas_interpret() if interpret is None
+                   else interpret))
     n = tidx.shape[0] * 128
     packed = packed.reshape(n)
     rgb = jnp.stack([packed & 0xFF, (packed >> 8) & 0xFF,
@@ -317,7 +319,7 @@ def albedo_from_comp(ds, mv, comp4, cap: int):
     return jnp.where(textured[..., None], tex, mv["color"])
 
 
-def make_light_visibility(scene, cfg, light_geom: int = 0):
+def make_light_visibility(scene, cfg, light_geom: int = 0, interpret=None):
     """Shadow-ray visibility of geom `light_geom` — the only thing the
     NEE block consumes (pathtrace.cu:374): did the closest hit land on the
     light geom? Skips all attribute resolution (a ~2x lighter pass).
@@ -328,7 +330,7 @@ def make_light_visibility(scene, cfg, light_geom: int = 0):
     """
     geom_types = scene.geom_types
     if cfg.backend != "pallas" or geom_types[light_geom] == MESH:
-        intersect = make_intersector(scene, cfg)
+        intersect = make_intersector(scene, cfg, interpret=interpret)
 
         def visible(ds, o, d):
             sh = intersect(ds, o, d)
@@ -339,7 +341,7 @@ def make_light_visibility(scene, cfg, light_geom: int = 0):
     from ptdn_tpu.ops.pallas.scene_intersect import light_visibility_pallas
 
     n_tris = scene.n_tris
-    interp = _pallas_interpret()
+    interp = _pallas_interpret() if interpret is None else interpret
 
     def visible(ds, o, d):
         return light_visibility_pallas(ds, geom_types, o, d, n_tris,
@@ -366,16 +368,22 @@ def _static_mats(scene):
     }
 
 
-def make_trace_fn(scene, cfg, resolution, full_height=None):
+def make_trace_fn(scene, cfg, resolution, full_height=None, interpret=None):
     """Build trace(ds, cam, params, frame_u32) -> (radiance (N,3), gbuffer).
 
     `radiance` is the raw 1-spp estimate (accumulation-over-frames happens
     in the frame step, pathtrace.cu:395-399). The static config baked in:
     trace_depth, shadow_ray, reduce_var, sep_color x denoise, mesh mode.
+
+    `interpret`: Pallas interpret mode, captured ONCE at build time
+    (None = auto-detect from the default device). The multi-chip builder
+    passes True for virtual-CPU meshes so no process-global state is
+    mutated (ADVICE r1).
     """
     from ptdn_tpu.ops.camera import generate_camera_rays
 
-    intersect = make_intersector(scene, cfg)
+    interp = _pallas_interpret() if interpret is None else interpret
+    intersect = make_intersector(scene, cfg, interpret=interp)
     read_mat = make_mat_reader(cfg)
     w, h = resolution
     n = w * h
@@ -387,7 +395,8 @@ def make_trace_fn(scene, cfg, resolution, full_height=None):
     lane_pad = (-n) % 1024 if cfg.backend == "pallas" else 0
     n = n + lane_pad
     light_geom = 0   # reference hardcodes geoms[0] (pathtrace.cu:360-361)
-    light_visible = make_light_visibility(scene, cfg, light_geom)
+    light_visible = make_light_visibility(scene, cfg, light_geom,
+                                          interpret=interp)
     # the shadow-hit material is geom 0's material — static
     # (pathtrace.cu:374-383: the contribution only reads its emittance/color)
     light_mat = scene.materials[scene.geom_material_ids[light_geom]]
@@ -406,7 +415,7 @@ def make_trace_fn(scene, cfg, resolution, full_height=None):
     # sparse texel fetch via row compaction (see albedo_from): pallas
     # backend only, needs 1024-aligned lane count
     scap = 32 if (cfg.backend == "pallas" and show_tex) else 0
-    intersect_tex = (make_intersector_tex(scene, cfg, scap)
+    intersect_tex = (make_intersector_tex(scene, cfg, scap, interpret=interp)
                      if scap else None)
 
     def trace(ds, cam, params, frame, primary_cache=None, cam_changed=None,
@@ -497,14 +506,15 @@ def make_trace_fn(scene, cfg, resolution, full_height=None):
                 geom_mats=scene.geom_material_ids, n_tris=scene.n_tris,
                 light_geom=light_geom, do_vis=do_vis,
                 light_emit=light_emit_color, compat=cfg.compat,
-                interpret=_pallas_interpret())
+                interpret=interp)
 
             def fetch_alb(_):
                 uv = jnp.stack([out[BK.B_UU].reshape(n),
                                 out[BK.B_VV].reshape(n)], axis=-1)
                 mat_id = out[BK.B_MAT].reshape(n).astype(jnp.int32)
                 nalb = albedo_from(ds, read_mat(ds, mat_id), uv,
-                                   show_tex, sparse_cap=scap)
+                                   show_tex, sparse_cap=scap,
+                                   interpret=interp)
                 return jnp.stack([plane(nalb[:, 0]), plane(nalb[:, 1]),
                                   plane(nalb[:, 2])])
 
@@ -553,7 +563,7 @@ def make_trace_fn(scene, cfg, resolution, full_height=None):
             out = SH.shade_bounce_pallas(
                 planes, pv, jnp.stack([fd, lane0]), _static_mats(scene),
                 cfg.shadow_ray,
-                cfg.reduce_var, interpret=_pallas_interpret())
+                cfg.reduce_var, interpret=interp)
 
             def up(k):
                 return out[k].reshape(n)
@@ -590,12 +600,13 @@ def make_trace_fn(scene, cfg, resolution, full_height=None):
                 if scap:
                     nxt, comp4 = intersect_tex(ds, spawn, new_dir)
                     nalb = albedo_from_comp(
-                        ds, read_mat(ds, nxt["mat_id"]), comp4, scap)
+                        ds, read_mat(ds, nxt["mat_id"]), comp4, scap,
+                        interpret=interp)
                 else:
                     nxt = intersect(ds, spawn, new_dir)
                     nalb = albedo_from(ds, read_mat(ds, nxt["mat_id"]),
                                        nxt["uv"], show_tex,
-                                       sparse_cap=scap)
+                                       sparse_cap=scap, interpret=interp)
                 return spawn, new_dir, active & nxt["hit"], nxt, nalb
 
             def no_next(args):

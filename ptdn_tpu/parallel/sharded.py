@@ -37,7 +37,7 @@ def state_shardings(mesh, state):
     return out
 
 
-def _make_sharded_trace(scene, cfg, res, mesh):
+def _make_sharded_trace(scene, cfg, res, mesh, interpret=None):
     """The pallas trace under shard_map: each chip traces its own row
     shard (rays never leave their chip — the tracer is embarrassingly
     row-parallel), with the shard's row offset threaded into pixel
@@ -45,16 +45,22 @@ def _make_sharded_trace(scene, cfg, res, mesh):
     the single-chip program. Pallas kernels have no GSPMD partitioning
     rule, so shard_map (explicit SPMD) is the idiomatic wrapper."""
     import jax
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     from ptdn_tpu.engine.wavefront import make_trace_fn
     from ptdn_tpu.parallel.mesh import ROW_AXIS
 
+    if hasattr(jax, "shard_map"):       # jax >= 0.6: check_vma kwarg
+        def shard_map(f, mesh, in_specs, out_specs, check_rep):
+            return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, check_vma=check_rep)
+    else:                               # older jax (deprecated path)
+        from jax.experimental.shard_map import shard_map
+
     w, h = res
     h_local = h // mesh.size
     trace_local = make_trace_fn(scene, cfg, (w, h_local),
-                                full_height=h)
+                                full_height=h, interpret=interpret)
 
     row = P(ROW_AXIS)
     rep = P()
@@ -88,22 +94,25 @@ def make_sharded_step(scene, cfg, resolution=None, mesh=None, n_devices=None):
     if res[1] % mesh.size != 0:
         raise ValueError(
             f"image height {res[1]} must divide across {mesh.size} devices")
+    # virtual-CPU meshes (the fake-backend test/dryrun path) run Pallas
+    # interpreted; captured at build time and threaded explicitly so no
+    # process-global state is mutated (a later TPU build in the same
+    # process is unaffected — ADVICE r1)
+    interp = (True if all(d.platform == "cpu" for d in mesh.devices.flat)
+              else None)
     if cfg.backend == "pallas":
         import dataclasses
 
-        from ptdn_tpu.engine.wavefront import set_pallas_interpret
-
-        if all(d.platform == "cpu" for d in mesh.devices.flat):
-            set_pallas_interpret(True)
-        trace_sh = _make_sharded_trace(scene, cfg, res, mesh)
+        trace_sh = _make_sharded_trace(scene, cfg, res, mesh,
+                                       interpret=interp)
         # the denoiser's stencils need cross-shard halos: run the XLA
         # implementation under GSPMD (the partitioner inserts the halo
         # collectives); same math as the pallas kernels to float level
         dn_cfg = dataclasses.replace(cfg, backend="xla")
         step = make_frame_step(scene, cfg, res, trace_override=trace_sh,
-                               denoise_cfg=dn_cfg)
+                               denoise_cfg=dn_cfg, interpret=interp)
     else:
-        step = make_frame_step(scene, cfg, res)
+        step = make_frame_step(scene, cfg, res, interpret=interp)
     state0 = init_frame_state(res)
     st_shard = state_shardings(mesh, state0)
     rep = replicated(mesh)
