@@ -319,6 +319,91 @@ def albedo_from_comp(ds, mv, comp4, cap: int, interpret=None):
     return jnp.where(textured[..., None], tex, mv["color"])
 
 
+def deferred_radiance(ds, contrib, tex_comp, depth: int, cap: int,
+                      interpret: bool):
+    """Reconstruct radiance from the whole-path kernel's per-depth
+    contributions (ops/pallas/path.py): ONE globally-packed texel gather
+    covering every depth, then a cumulative-ratio loop.
+
+    contrib: (6*depth, NB, 128) f32; tex_comp: None or (slot, cvals,
+    count) each (depth-1, NB, 128) i32 (tile-compacted texel indices,
+    see path_trace_fused_pallas). Returns radiance (N, 3).
+
+    The gather is COUNT-bound (~140 M idx/s scalar loop on v5e), so the
+    packing matters: per 1024-lane tile only ceil(k/128) gathered rows
+    are paid (k = the tile's textured-lane count, ~56 avg on cornell vs
+    a 128-lane-per-row dense fetch), with a static-size ladder on the
+    global row total. Cornell depth-8: ~227K real texels -> ~4000 rows
+    ~= 512K gathered indices, vs 4.5M dense."""
+    import jax
+
+    from ptdn_tpu.ops.pallas.path import uncompact_tiles_pallas
+
+    nb = contrib.shape[1]
+    n = nb * 128
+
+    if tex_comp is not None:
+        sl, cv, cn = tex_comp
+        dm1 = sl.shape[0]
+        nblk = nb // 8
+        tt = dm1 * nblk
+        k = cn.reshape(dm1, nblk, 8, 128)[:, :, 0, 0].reshape(tt)
+        rows_used = jax.lax.shift_right_logical(k + 127, 7)
+        cum_incl = jnp.cumsum(rows_used)
+        cum_ex = cum_incl - rows_used
+        s_total = cum_incl[-1]
+        cv_rows = cv.reshape(tt * 8, 128)
+        table = jax.lax.bitcast_convert_type(ds.tex_flat_u32, jnp.int32)
+        tmax = table.shape[0]
+
+        def build(cap_rows):
+            def f(_):
+                j = jnp.arange(cap_rows)
+                t_j = jnp.minimum(
+                    jnp.searchsorted(cum_incl, j, side="right"), tt - 1)
+                r_j = jnp.clip(j - cum_ex[t_j], 0, 7)
+                rows = jnp.take(cv_rows, t_j * 8 + r_j, axis=0)
+                tex = jnp.take(
+                    table,
+                    jnp.clip(rows, 0, tmax - 1).reshape(-1)
+                ).reshape(cap_rows, 128)
+                texp = jnp.pad(tex, ((0, 8), (0, 0)))
+                w_idx = jnp.minimum(
+                    cum_ex[:, None] + jnp.arange(8)[None, :], cap_rows + 7)
+                win = jnp.take(texp, w_idx.reshape(-1), axis=0)
+                return win.reshape(dm1, nb, 128)
+            return f
+
+        ladder = [c for c in (2048, 4096, 8192, 16384) if c < tt * 8]
+        ladder.append(tt * 8)
+        out = build(ladder[-1])
+        for c in reversed(ladder[:-1]):
+            out = (lambda nxt, c: lambda _: jax.lax.cond(
+                s_total <= c, build(c), nxt, None))(out, c)
+        win = out(None)
+        packed = uncompact_tiles_pallas(win, sl, interpret=interpret)
+        tex_on = sl >= 0
+        ratio = [jnp.where(tex_on,
+                           ((packed >> (8 * c)) & 0xFF).astype(jnp.float32)
+                           * COLORDIVIDOR, 1.0)
+                 for c in range(3)]
+
+    cum = [jnp.ones((nb, 128), jnp.float32) for _ in range(3)]
+    rad = [jnp.zeros((nb, 128), jnp.float32) for _ in range(3)]
+    for d in range(1, depth + 1):
+        base = 6 * (d - 1)
+        for c in range(3):
+            rad[c] = rad[c] + contrib[base + c] * cum[c]
+        # depth-1 albedo is the exact primary albedo (in-kernel); the
+        # deferred ratio stream starts at depth 2
+        if d >= 2 and tex_comp is not None:
+            for c in range(3):
+                cum[c] = cum[c] * ratio[c][d - 2]
+        for c in range(3):
+            rad[c] = rad[c] + contrib[base + 3 + c] * cum[c]
+    return jnp.stack([r.reshape(n) for r in rad], axis=-1)
+
+
 def make_light_visibility(scene, cfg, light_geom: int = 0, interpret=None):
     """Shadow-ray visibility of geom `light_geom` — the only thing the
     NEE block consumes (pathtrace.cu:374): did the closest hit land on the
@@ -408,6 +493,11 @@ def make_trace_fn(scene, cfg, resolution, full_height=None, interpret=None):
     # analytic (true in every shipped scene — OBJECT 0 is a cube light)
     do_vis = cfg.shadow_ray and light_analytic and light_emissive
     use_fused = cfg.fuse_bounce and ((not cfg.shadow_ray) or light_analytic)
+    # whole-path megakernel with deferred texture modulation
+    # (ops/pallas/path.py): every bounce in ONE launch, one texel gather
+    # for the whole frame
+    use_path = (getattr(cfg, "fuse_path", True)
+                and ((not cfg.shadow_ray) or light_analytic))
     # static bypass: a scene with zero loaded textures can never sample
     # one (every mat_texid is -1), so skip the 640K-lane texture gather
     # that XLA would otherwise emit per bounce (~4 ms/site on v5e)
@@ -705,6 +795,58 @@ def make_trace_fn(scene, cfg, resolution, full_height=None, interpret=None):
                     active, isect, alb), None
 
         plane_ok = cfg.backend == "pallas" and n % (8 * 128) == 0
+        if plane_ok and use_path:
+            from ptdn_tpu.ops.pallas.path import path_trace_fused_pallas
+
+            planes16 = jnp.stack([
+                plane(origin[:, 0]), plane(origin[:, 1]),
+                plane(origin[:, 2]),
+                plane(direction[:, 0]), plane(direction[:, 1]),
+                plane(direction[:, 2]),
+                plane(isect["t"]),
+                plane(isect["normal"][:, 0]), plane(isect["normal"][:, 1]),
+                plane(isect["normal"][:, 2]),
+                plane(gb_albedo[:, 0]), plane(gb_albedo[:, 1]),
+                plane(gb_albedo[:, 2]),
+                plane(isect["mat_id"].astype(jnp.float32)),
+                plane(active.astype(jnp.float32)),
+                plane(diffuse_flag.astype(jnp.float32)),
+            ])
+            pv = jnp.concatenate([
+                ds.geom_translation[light_geom],
+                jnp.stack([params["light_radius"],
+                           params["shadow_intensity"], jnp.float32(0),
+                           jnp.float32(0), jnp.float32(0)])])
+            fl = jnp.stack([jnp.asarray(frame, jnp.uint32).reshape(()),
+                            jnp.asarray(lane0, jnp.uint32).reshape(())])
+            pcap = scap if scap else 32
+            contrib, tex_comp = path_trace_fused_pallas(
+                planes16, pv, fl, ds, mats=_static_mats(scene),
+                shadow_ray=cfg.shadow_ray, reduce_var=cfg.reduce_var,
+                geom_types=scene.geom_types,
+                geom_mats=scene.geom_material_ids, n_tris=scene.n_tris,
+                light_geom=light_geom, do_vis=do_vis,
+                light_emit=light_emit_color, compat=cfg.compat,
+                depth=cfg.trace_depth,
+                alb_skip1=bool(cfg.sep_color and cfg.denoise_enable),
+                mat_texids=tuple(m.texid for m in scene.materials),
+                tex_whs=tuple((t.shape[1], t.shape[0])
+                              for t in scene.textures),
+                cap=pcap, emit_tex=show_tex, interpret=interp)
+            radiance = deferred_radiance(ds, contrib, tex_comp,
+                                         cfg.trace_depth, pcap, interp)
+            gbuffer = {
+                "position": gb_position,
+                "normal": gb_normal,
+                "albedo": gb_albedo,
+                "ialbedo": gb_ialbedo,
+                "geom_id": gb_geom,
+            }
+            if lane_pad:
+                radiance = radiance[:n_real]
+                gbuffer = {k: v[:n_real] for k, v in gbuffer.items()}
+                primary = {k: v[:n_real] for k, v in primary.items()}
+            return radiance, gbuffer, primary
         if plane_ok and use_fused:
             carry = jnp.stack([
                 plane(origin[:, 0]), plane(origin[:, 1]),

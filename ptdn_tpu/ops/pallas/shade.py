@@ -114,9 +114,15 @@ def shade_tiles(tiles, seed, par, *, mats, shadow_ray: bool,
     if shadow_ray and reduce_var:
         add_emit = add_emit & ~diffuse_flag
     add_f = jnp.where(add_emit, 1.0, 0.0)
-    rr = rr + add_f * tr * m_cr * m_emit
-    rg = rg + add_f * tg * m_cg * m_emit
-    rb = rb + add_f * tb * m_cb * m_emit
+    # emissive contribution kept separately ("er/eg/eb") for consumers
+    # that defer texture modulation (ops/pallas/path.py); rr/rg/rb stay
+    # the accumulated radiance for the per-bounce kernels
+    er = add_f * tr * m_cr * m_emit
+    eg = add_f * tg * m_cg * m_emit
+    eb = add_f * tb * m_cb * m_emit
+    rr = rr + er
+    rg = rg + eg
+    rb = rb + eb
     active = active & ~emissive
 
     # hit point + spawn origin (+1e-4 n, pathtrace.cu:338/interactions.h:104)
@@ -271,6 +277,9 @@ def shade_tiles(tiles, seed, par, *, mats, shadow_ray: bool,
     out["rr"] = rr
     out["rg"] = rg
     out["rb"] = rb
+    out["er"] = er
+    out["eg"] = eg
+    out["eb"] = eb
     out["dif"] = jnp.where(diffuse_flag | (active & is_diffuse), 1.0, 0.0)
     out["act"] = jnp.where(active, 1.0, 0.0)
     return out

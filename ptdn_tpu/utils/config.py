@@ -77,6 +77,12 @@ class RenderConfig:
     # (cornell 43.0->37.9 ms, diamond/bunny win, room -2%): default on.
     # Requires backend="pallas" and an analytic NEE light.
     fuse_bounce: bool = True
+    # whole-path megakernel (ops/pallas/path.py): the ENTIRE bounce loop
+    # in one Pallas launch with texture modulation deferred to a single
+    # post-pass gather (the per-bounce texture fetches cost ~16.5 ms of
+    # the 37.9 ms round-1 cornell frame). Takes precedence over
+    # fuse_bounce when applicable; same requirements.
+    fuse_path: bool = True
 
     def traced_params(self) -> Dict[str, Any]:
         """Continuous parameters as a traced float32 pytree."""
@@ -100,6 +106,7 @@ class RenderConfig:
             self.blur_variance, self.atrous_nlevel, self.history_level,
             self.sep_color, self.add_color, self.right_view_option,
             self.backend, self.mesh_mode, self.compat,
+            self.fuse_bounce, self.fuse_path,
         )
 
     def replace(self, **kw) -> "RenderConfig":
