@@ -1,36 +1,44 @@
-"""Per-stage breakdown of the cornell headline frame on TPU."""
+"""Per-stage breakdown of a frame on TPU.
+
+Usage: python benchmarks/profile_stages.py [scene_name] [WxH]
+e.g.   python benchmarks/profile_stages.py bunny 800x800
+"""
+import sys
 import time
-import numpy as np
+
 from ptdn_tpu.engine import Renderer
 from ptdn_tpu.scene import Scene
 from ptdn_tpu.utils.config import RenderConfig
 from ptdn_tpu.utils.timing import fetch_scalar
 
-SCENE = "/root/reference/scenes/cornell.txt"
+name = sys.argv[1] if len(sys.argv) > 1 else "cornell"
+res = sys.argv[2] if len(sys.argv) > 2 else "800x800"
+W, H = (int(x) for x in res.split("x"))
+SCENE = f"/root/reference/scenes/{name}.txt"
 
 
-def measure(tag, **kw):
+def measure(tag, n=25, **kw):
     svgf = dict(denoise_enable=True, temporal_enable=True,
                 spatial_enable=True, atrous_nlevel=5, backend="pallas",
                 trace_depth=8)
     svgf.update(kw)
     cfg = RenderConfig(**svgf)
     scene = Scene(SCENE)
-    r = Renderer(scene, cfg, resolution=(800, 800))
+    r = Renderer(scene, cfg, resolution=(W, H))
 
-    def run(n):
+    def run(k):
         right = None
         t0 = time.time()
-        for _ in range(n):
+        for _ in range(k):
             left, right = r.render_frame()
         fetch_scalar(right)
         return time.time() - t0
 
     run(3)
     t1 = run(5)
-    t2 = run(25)
-    ms = (t2 - t1) / 20 * 1000.0
-    print(f"{tag:42s} {ms:8.1f} ms")
+    t2 = run(n)
+    ms = (t2 - t1) / (n - 5) * 1000.0
+    print(f"{tag:42s} {ms:8.1f} ms", flush=True)
     return ms
 
 

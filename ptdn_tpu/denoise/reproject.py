@@ -406,7 +406,13 @@ def back_projection_auto(res, current_color, curr_gb, prev_gb,
     fx, fy, _, _, _ = _reproj_base(res, curr_gb["position"], prev_viewmat)
     iy = jnp.arange(h, dtype=jnp.int32)[:, None]
     ix = jnp.arange(w, dtype=jnp.int32)[None, :]
-    near = (jnp.max(jnp.abs(fy - iy)) <= 1) & (jnp.max(jnp.abs(fx - ix)) <= 1)
+    # miss/background lanes (geom_id == -1) carry arbitrary positions and
+    # must not veto the fast path — their taps are rejected by the geomId
+    # validity test either way (isReprjValid, reference src/denoise.cu:178)
+    valid = curr_gb["geom_id"].reshape(h, w) >= 0
+    dyv = jnp.where(valid, jnp.abs(fy - iy), 0)
+    dxv = jnp.where(valid, jnp.abs(fx - ix), 0)
+    near = (jnp.max(dyv) <= 1) & (jnp.max(dxv) <= 1)
 
     args = (current_color, curr_gb, prev_gb, prev_viewmat, color_history,
             moment_history, history_length, color_alpha_min,

@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ptdn_tpu.ops.pallas.scene_intersect import (closest_hit_tiles,
                                                  light_visibility_tiles)
-from ptdn_tpu.ops.pallas.shade import (_IN_KEYS, _fd2, lane_seed,
+from ptdn_tpu.ops.pallas.shade import (_IN_KEYS, _fd2, lane_seed, pix_seed,
                                        shade_tiles)
 
 RROWS = 8
@@ -50,11 +50,16 @@ def _kernel(inp, par_ref, fd_ref,
             attr_r, out,
             *, mats, shadow_ray, reduce_var, geom_types, geom_mats,
             n_tris, n_chunks, cull, compat, light_geom, do_vis,
-            light_emit):
+            light_emit, has_pix=False):
     shape = (RROWS, 128)
     i = pl.program_id(0)
     tiles = {k: inp[j] for j, k in enumerate(_IN_KEYS)}
-    seed = lane_seed(i, fd_ref[0, 0], shape, fd_ref[0, 1])
+    if has_pix:
+        # sorted-wavefront mode: lanes are in coherence order, plane 22
+        # carries each lane's pixel index for its RNG stream
+        seed = pix_seed(inp[N_BIN], fd_ref[0, 0], shape, fd_ref[0, 1])
+    else:
+        seed = lane_seed(i, fd_ref[0, 0], shape, fd_ref[0, 1])
     par = tuple(par_ref[0, j] for j in range(6))
 
     res = shade_tiles(tiles, seed, par, mats=mats, shadow_ray=shadow_ray,
@@ -102,7 +107,8 @@ def _kernel(inp, par_ref, fd_ref,
             (res["spx"], res["spy"], res["spz"]),
             (res["dx"], res["dy"], res["dz"]),
             refs, shape, geom_types=geom_types, geom_mats=geom_mats,
-            n_tris=n_tris, n_chunks=n_chunks, cull=cull, compat=compat)
+            n_tris=n_tris, n_chunks=n_chunks, cull=cull, compat=compat,
+            alive=res["act"])
         hit = jnp.where(geom >= 0.0, 1.0, 0.0)
         out[B_T] = t
         out[B_NX] = nx
@@ -130,18 +136,21 @@ def bounce_fused_pallas(planes_in, params_vec, frame_plus_depth, ds,
                         *, mats, shadow_ray, reduce_var, geom_types,
                         geom_mats, n_tris, light_geom, do_vis, light_emit,
                         compat, cull=True, interpret=False):
-    """planes_in: (N_BIN, NB, 128) f32. params_vec: (8,) f32 =
-    (light_pos(3), lrad, sint, alb_skip, do_next, pad). Returns
-    (N_BOUT, NB, 128) f32."""
+    """planes_in: (N_BIN, NB, 128) f32 — or (N_BIN+1, NB, 128) with a
+    trailing pixel-index plane (sorted-wavefront mode; RNG follows the
+    pixel). params_vec: (8,) f32 = (light_pos(3), lrad, sint, alb_skip,
+    do_next, pad). Returns (N_BOUT, NB, 128) f32."""
     nb = planes_in.shape[1]
-    n_chunks = int(ds.tri_mm.shape[0]) if n_tris else 0
+    has_pix = planes_in.shape[0] == N_BIN + 1
+    n_chunks = int(ds.tri_chunk_min.shape[0]) if n_tris else 0
     kern = functools.partial(
         _kernel, mats=mats, shadow_ray=shadow_ray, reduce_var=reduce_var,
         geom_types=tuple(geom_types), geom_mats=tuple(geom_mats),
         n_tris=n_tris, n_chunks=n_chunks, cull=cull, compat=compat,
         light_geom=light_geom, do_vis=do_vis,
-        light_emit=tuple(float(x) for x in light_emit))
-    plane_in_spec = pl.BlockSpec((N_BIN, RROWS, 128), lambda i: (0, i, 0),
+        light_emit=tuple(float(x) for x in light_emit), has_pix=has_pix)
+    n_in = N_BIN + (1 if has_pix else 0)
+    plane_in_spec = pl.BlockSpec((n_in, RROWS, 128), lambda i: (0, i, 0),
                                  memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -159,6 +168,140 @@ def bounce_fused_pallas(planes_in, params_vec, frame_plus_depth, ds,
         out_shape=jax.ShapeDtypeStruct((N_BOUT, nb, 128), jnp.float32),
         interpret=interpret,
     )(planes_in, params_vec.reshape(1, 8), _fd2(frame_plus_depth),
+      ds.geom_transform, ds.geom_inverse, ds.geom_inv_transpose,
+      ds.geom_bb_min, ds.geom_bb_max, ds.tri_moller,
+      ds.tri_chunk_min, ds.tri_chunk_max, ds.tri_attr_t)
+    return out
+
+
+# ---- split-pipeline trace kernel (sorted wavefront) -------------------
+# The sorted engine runs shade and trace as separate launches with a
+# coherence sort in between, so the closest-hit sees lanes grouped by
+# (origin cell, direction octant) — the scatter directions only exist
+# after the shade kernel ran. Input = the shade kernel's output planes
+# (shade.O_* layout); output = the same N_BOUT layout as the fused
+# bounce kernel, so the engine glue is shared.
+
+def _trace_kernel(inp, par_ref,
+                  tf_r, inv_r, invt_r, gbbmin_r, gbbmax_r, tri_r, cmin_r,
+                  cmax_r, attr_r, out,
+                  *, geom_types, geom_mats, n_tris, n_chunks, cull,
+                  compat, light_geom, do_vis, light_emit, has_fc):
+    from ptdn_tpu.ops.pallas.shade import (O_ACT, O_CB, O_CG, O_CR, O_DIF,
+                                           O_DX, O_DY, O_DZ, O_NEE, O_RB,
+                                           O_RG, O_RR, O_SDX, O_SDY, O_SDZ,
+                                           O_SPX, O_SPY, O_SPZ, O_TB, O_TG,
+                                           O_TR)
+
+    shape = (RROWS, 128)
+    spx, spy, spz = inp[O_SPX], inp[O_SPY], inp[O_SPZ]
+    dx, dy, dz = inp[O_DX], inp[O_DY], inp[O_DZ]
+    act = inp[O_ACT]
+    rr, rg, rb = inp[O_RR], inp[O_RG], inp[O_RB]
+    from ptdn_tpu.ops.pallas.shade import N_OUT as _NO
+    fn = inp[_NO] if has_fc else None        # next-ray first chunk
+    fs = inp[_NO + 1] if has_fc else None    # shadow-ray first chunk
+
+    vis_refs = (tf_r, inv_r, invt_r, gbbmin_r, gbbmax_r, tri_r, cmin_r,
+                cmax_r)
+    if do_vis:
+        lit = light_visibility_tiles(
+            (spx, spy, spz), (inp[O_SDX], inp[O_SDY], inp[O_SDZ]),
+            vis_refs, shape, geom_types=geom_types, n_tris=n_tris,
+            n_chunks=n_chunks, light_geom=light_geom,
+            nee_mask=inp[O_NEE], first_chunk=fs)
+        # select, not multiply: cr/cg/cb can be inf/NaN on non-NEE lanes
+        litb = lit > 0.5
+        rr = rr + jnp.where(litb, inp[O_CR] * light_emit[0], 0.0)
+        rg = rg + jnp.where(litb, inp[O_CG] * light_emit[1], 0.0)
+        rb = rb + jnp.where(litb, inp[O_CB] * light_emit[2], 0.0)
+
+    out[B_SPX] = spx
+    out[B_SPY] = spy
+    out[B_SPZ] = spz
+    out[B_DX] = dx
+    out[B_DY] = dy
+    out[B_DZ] = dz
+    out[B_TR] = inp[O_TR]
+    out[B_TG] = inp[O_TG]
+    out[B_TB] = inp[O_TB]
+    out[B_RR] = rr
+    out[B_RG] = rg
+    out[B_RB] = rb
+    out[B_DIF] = inp[O_DIF]
+    out[B_ACT] = act
+
+    do_next = par_ref[0, 6] > 0.5
+
+    @pl.when(do_next)
+    def _():
+        refs = vis_refs + (attr_r,)
+        t, geom, nx, ny, nz, uu, vv, mat = closest_hit_tiles(
+            (spx, spy, spz), (dx, dy, dz),
+            refs, shape, geom_types=geom_types, geom_mats=geom_mats,
+            n_tris=n_tris, n_chunks=n_chunks, cull=cull, compat=compat,
+            alive=act, first_chunk=fn)
+        out[B_T] = t
+        out[B_NX] = nx
+        out[B_NY] = ny
+        out[B_NZ] = nz
+        out[B_MAT] = mat
+        out[B_ACT] = act * jnp.where(geom >= 0.0, 1.0, 0.0)
+        out[B_UU] = uu
+        out[B_VV] = vv
+
+    @pl.when(jnp.logical_not(do_next))
+    def _():
+        # last depth: only radiance survives; values must stay finite
+        one = jnp.ones(shape, jnp.float32)
+        zero = jnp.zeros(shape, jnp.float32)
+        out[B_T] = one
+        out[B_NX] = zero
+        out[B_NY] = zero
+        out[B_NZ] = one
+        out[B_MAT] = zero
+        out[B_UU] = zero
+        out[B_VV] = zero
+
+
+def trace_bounce_pallas(planes_in, params_vec, ds,
+                        *, geom_types, geom_mats, n_tris, light_geom,
+                        do_vis, light_emit, compat, cull=True,
+                        interpret=False):
+    """planes_in: (shade.N_OUT, NB, 128) f32 (the shade kernel's output,
+    coherence-sorted) — or (shade.N_OUT+2, ...) with trailing
+    (next-ray first-chunk, shadow-ray first-chunk) planes that rotate
+    the kernel's chunk loops to each tile's dominant chunk. params_vec:
+    (8,) f32 with do_next at [6]. Returns (N_BOUT, NB, 128) f32 in the
+    fused bounce kernel's layout."""
+    from ptdn_tpu.ops.pallas.shade import N_OUT as SH_N_OUT
+
+    nb = planes_in.shape[1]
+    has_fc = planes_in.shape[0] == SH_N_OUT + 2
+    n_in = planes_in.shape[0]
+    n_chunks = int(ds.tri_chunk_min.shape[0]) if n_tris else 0
+    kern = functools.partial(
+        _trace_kernel, geom_types=tuple(geom_types),
+        geom_mats=tuple(geom_mats), n_tris=n_tris, n_chunks=n_chunks,
+        cull=cull, compat=compat, light_geom=light_geom, do_vis=do_vis,
+        light_emit=tuple(float(x) for x in light_emit), has_fc=has_fc)
+    plane_in_spec = pl.BlockSpec((n_in, RROWS, 128),
+                                 lambda i: (0, i, 0),
+                                 memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(nb // RROWS,),
+        in_specs=[plane_in_spec,
+                  pl.BlockSpec((1, 8), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  smem, smem, smem, smem, smem, full, smem, smem, full],
+        out_specs=pl.BlockSpec((N_BOUT, RROWS, 128), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N_BOUT, nb, 128), jnp.float32),
+        interpret=interpret,
+    )(planes_in, params_vec.reshape(1, 8),
       ds.geom_transform, ds.geom_inverse, ds.geom_inv_transpose,
       ds.geom_bb_min, ds.geom_bb_max, ds.tri_moller,
       ds.tri_chunk_min, ds.tri_chunk_max, ds.tri_attr_t)

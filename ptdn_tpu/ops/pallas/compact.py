@@ -85,7 +85,7 @@ def tile_route(valid_i, shape):
 
     Two phases (vreg gathers compose only when the inner index is
     row-invariant, so the cross-row move uses a collision-free 8-way
-    select — see gather_table_groups's rationale in texgather.py):
+    select — see gather_table_groups's rationale in benchmarks/pallas_texgather.py):
       phase 1: per-row compaction (binary-search routing, compact_tile);
       phase 2: output position p reads phase-1 row r(p) (the row whose
       cumulative range contains p) at in-row position p - C_r."""

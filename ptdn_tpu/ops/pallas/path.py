@@ -135,7 +135,8 @@ def _kernel(inp, par_ref, fd_ref,
             (res["spx"], res["spy"], res["spz"]),
             (res["dx"], res["dy"], res["dz"]),
             hit_refs, shape, geom_types=geom_types, geom_mats=geom_mats,
-            n_tris=n_tris, n_chunks=n_chunks, cull=cull, compat=compat)
+            n_tris=n_tris, n_chunks=n_chunks, cull=cull, compat=compat,
+            alive=res["act"])
         act = res["act"] * jnp.where(geom >= 0.0, 1.0, 0.0)
 
         # next albedo: static material color; textured lanes use 1.0 and
@@ -214,7 +215,7 @@ def path_trace_fused_pallas(planes_in, params_vec, frame_lane0, ds,
              and `slot` each lane's position in that packing (-1 if
              untextured)."""
     nb = planes_in.shape[1]
-    n_chunks = int(ds.tri_mm.shape[0]) if n_tris else 0
+    n_chunks = int(ds.tri_chunk_min.shape[0]) if n_tris else 0
     atlas_hw = (int(ds.tex_atlas.shape[1]), int(ds.tex_atlas.shape[2]))
     emit_tex = emit_tex and depth > 1
     kern = functools.partial(

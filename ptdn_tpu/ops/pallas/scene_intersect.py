@@ -40,7 +40,7 @@ TGROUP = 8
 
 def light_visibility_tiles(o, d, vis_refs, shape, *, geom_types,
                            n_tris: int, n_chunks: int, light_geom: int,
-                           nee_mask=None):
+                           nee_mask=None, first_chunk=None):
     """Visibility-only closest hit on tiles: did the closest hit land on
     `light_geom`? Any-hit semantics against the light distance: no
     normals, no triangle index bookkeeping, and the chunk loop exits
@@ -175,11 +175,21 @@ def light_visibility_tiles(o, d, vis_refs, shape, *, geom_types,
         return jax.lax.fori_loop(0, TCHUNK // TGROUP, group, lit)
 
     def cond(state):
-        c, lit = state
-        return (c < n_chunks) & (jnp.max(lit) > 0.5)
+        i, lit = state
+        return (i < n_chunks) & (jnp.max(lit) > 0.5)
+
+    if first_chunk is not None and n_chunks > 4:
+        # sorted-wavefront: start at the tile's dominant shadow chunk —
+        # the likeliest occluder — so the all-occluded early exit fires
+        # sooner and later chunks' per-lane culls see shrunk lit masks
+        c0 = jax.lax.rem(jnp.min(first_chunk).astype(jnp.int32),
+                         jnp.int32(n_chunks))
+    else:
+        c0 = jnp.int32(0)
 
     def body(state):
-        c, lit = state
+        i, lit = state
+        c = jax.lax.rem(c0 + i, jnp.int32(n_chunks))
         if n_chunks <= 4:
             relevant_t = jnp.where(lit > 0.5, ta, -FLT_MAX)
             lit = jax.lax.cond(chunk_cull(c, relevant_t),
@@ -187,7 +197,7 @@ def light_visibility_tiles(o, d, vis_refs, shape, *, geom_types,
                                lambda l: l, lit)
         else:
             lit = chunk_occlusion(c, lit)
-        return c + 1, lit
+        return i + 1, lit
 
     _, lit = jax.lax.while_loop(cond, body, (jnp.int32(0), lit))
     return lit
@@ -221,7 +231,7 @@ def light_visibility_pallas(ds, geom_types, o, d, n_tris: int,
     comps = [o[:, 0].reshape(nb, 128), o[:, 1].reshape(nb, 128),
              o[:, 2].reshape(nb, 128), d[:, 0].reshape(nb, 128),
              d[:, 1].reshape(nb, 128), d[:, 2].reshape(nb, 128)]
-    n_chunks = int(ds.tri_mm.shape[0]) if n_tris else 0
+    n_chunks = int(ds.tri_chunk_min.shape[0]) if n_tris else 0
     kern = functools.partial(_vis_kernel, geom_types=tuple(geom_types),
                              n_tris=n_tris, n_chunks=n_chunks,
                              light_geom=light_geom)
@@ -396,9 +406,19 @@ def _one_geom(geom_types, tf, inv, invt, gi, gtype, o, d, shape, best,
 
 
 def _mesh_best(tri_r, cmin_r, cmax_r, o, d, ta, ga, shape, n_tris: int,
-               n_chunks: int, cull: bool):
+               n_chunks: int, cull: bool, alive=None, first_chunk=None):
     """Chunked brute-force mesh closest hit over the whole block.
-    Returns (best_t, best_tri_index) as f32 tiles (FLT_MAX = none)."""
+    Returns (best_t, best_tri_index) as f32 tiles (FLT_MAX = none).
+    `alive` (f32 mask, optional) excludes dead lanes from the per-lane
+    window cull and compaction — their outputs are garbage the caller
+    already masks (the fused path kernel gates on act).
+    `first_chunk` (f32 plane, optional): each lane's nearest crossed
+    chunk id (n_chunks = none). When the engine sorts lanes by this key
+    the tile is chunk-pure — rotating the chunk loop to START at the
+    tile's first chunk makes most lanes hit immediately, so their
+    t-windows collapse and the remaining chunks' per-lane culls fail
+    (second crossings otherwise spread over every chunk: measured 84 us
+    -> ~16 us per crossing tile on bunny)."""
     ox, oy, oz = o
     dx, dy, dz = d
     sub_i = jax.lax.broadcasted_iota(jnp.int32, (TGROUP, 1), 0).astype(
@@ -585,6 +605,9 @@ def _mesh_best(tri_r, cmin_r, cmax_r, o, d, ta, ga, shape, n_tris: int,
     # it lose the merge anyway (strict <), so chunk culling can reject
     # every chunk that starts behind the closest wall/floor hit.
     bt0 = jnp.where(ga >= 0.0, ta, FLT_MAX)
+    if alive is not None:
+        # dead lanes can't win: an empty window rejects every chunk
+        bt0 = jnp.where(alive > 0.5, bt0, -FLT_MAX)
     bi0 = jnp.full(shape, FLT_MAX, jnp.float32)
     if n_chunks <= 4:
         # small scenes: unroll chunks statically and trim the group loop
@@ -609,7 +632,23 @@ def _mesh_best(tri_r, cmin_r, cmax_r, o, d, ta, ga, shape, n_tris: int,
         bt, bi = best
     else:
         body = chunk_body_compact if cull else chunk_body
-        bt, bi = jax.lax.fori_loop(0, n_chunks, body, (bt0, bi0))
+        if first_chunk is not None:
+            # rotate the loop to start at the tile's dominant first
+            # chunk. NB: this reorders cross-chunk processing, so an
+            # exact t-tie between triangles in DIFFERENT chunks can
+            # break differently than the array-order loop (the
+            # reference's BVH traversal order differs from both; within
+            # a chunk the order is unchanged).
+            c0 = jnp.min(first_chunk).astype(jnp.int32)
+            c0 = jax.lax.rem(c0, jnp.int32(n_chunks))
+
+            def rot_body(i, best):
+                return body(jax.lax.rem(c0 + i, jnp.int32(n_chunks)),
+                            best)
+
+            bt, bi = jax.lax.fori_loop(0, n_chunks, rot_body, (bt0, bi0))
+        else:
+            bt, bi = jax.lax.fori_loop(0, n_chunks, body, (bt0, bi0))
     return bt, bi
 
 
@@ -728,7 +767,8 @@ def _mesh_attr_refine(tri_attr_t_ref, bt, bi, o, d, shape, n_tris: int,
 
 
 def closest_hit_tiles(o, d, scene_refs, shape, *, geom_types, geom_mats,
-                      n_tris: int, n_chunks: int, cull: bool, compat: bool):
+                      n_tris: int, n_chunks: int, cull: bool, compat: bool,
+                      alive=None, first_chunk=None):
     """Fully-resolved closest hit on tiles: analytic + mesh + attributes
     + merge (the engine's intersect() contract). `scene_refs` is the
     (tf, inv, invt, gbbmin, gbbmax, tri, cmin, cmax, attr) ref tuple.
@@ -748,7 +788,8 @@ def closest_hit_tiles(o, d, scene_refs, shape, *, geom_types, geom_mats,
         vv = jnp.zeros(shape, jnp.float32)
     else:
         bt, bi = _mesh_best(tri_r, cmin_r, cmax_r, o, d, ta, ga, shape,
-                            n_tris, n_chunks, cull)
+                            n_tris, n_chunks, cull, alive=alive,
+                            first_chunk=first_chunk)
         t_m, mh, mnx, mny, mnz, uvx, uvy, m_geom = _mesh_attr_refine(
             attr_r, bt, bi, o, d, shape, n_tris, n_chunks, compat)
         mesh_wins = mh & (~a_valid | (t_m < ta))
@@ -868,7 +909,7 @@ def scene_intersect_full_tex_pallas(ds, geom_types, geom_mats, o, d,
     comps = [o[:, 0].reshape(nb, 128), o[:, 1].reshape(nb, 128),
              o[:, 2].reshape(nb, 128), d[:, 0].reshape(nb, 128),
              d[:, 1].reshape(nb, 128), d[:, 2].reshape(nb, 128)]
-    n_chunks = int(ds.tri_mm.shape[0]) if n_tris else 0
+    n_chunks = int(ds.tri_chunk_min.shape[0]) if n_tris else 0
     atlas_hw = (int(ds.tex_atlas.shape[1]), int(ds.tex_atlas.shape[2]))
     kern = functools.partial(
         _kernel_full_tex, geom_types=tuple(geom_types),
@@ -919,7 +960,7 @@ def scene_intersect_full_pallas(ds, geom_types, geom_mats, o, d,
     comps = [o[:, 0].reshape(nb, 128), o[:, 1].reshape(nb, 128),
              o[:, 2].reshape(nb, 128), d[:, 0].reshape(nb, 128),
              d[:, 1].reshape(nb, 128), d[:, 2].reshape(nb, 128)]
-    n_chunks = int(ds.tri_mm.shape[0]) if n_tris else 0
+    n_chunks = int(ds.tri_chunk_min.shape[0]) if n_tris else 0
     kern = functools.partial(_kernel_full, geom_types=tuple(geom_types),
                              geom_mats=tuple(geom_mats), n_tris=n_tris,
                              n_chunks=n_chunks, cull=cull, compat=compat)
@@ -969,7 +1010,7 @@ def scene_intersect_pallas(ds, geom_types, o, d, n_tris: int,
              o[:, 2].reshape(nb, 128), d[:, 0].reshape(nb, 128),
              d[:, 1].reshape(nb, 128), d[:, 2].reshape(nb, 128)]
 
-    n_chunks = int(ds.tri_mm.shape[0]) if n_tris else 0
+    n_chunks = int(ds.tri_chunk_min.shape[0]) if n_tris else 0
     kern = functools.partial(_kernel, geom_types=tuple(geom_types),
                              n_tris=n_tris, n_chunks=n_chunks, cull=cull)
     ray_spec = pl.BlockSpec((RROWS, 128), lambda i: (i, 0),

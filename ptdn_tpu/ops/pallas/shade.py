@@ -305,12 +305,28 @@ def lane_seed(block_index, fd, shape, base=0):
     return _tea(lane, jnp.full(shape, fd, jnp.uint32))
 
 
+def pix_seed(pix_f, fd, shape, base=0):
+    """Per-lane TEA seed from an explicit pixel-index plane (f32 values,
+    exact for indices < 2^24). The sorted-wavefront engine permutes
+    lanes into coherence order between bounces, so the RNG stream must
+    follow the PIXEL, not the lane position
+    (initRand(pixelIdx, frame+depth), pathtrace.cu:328)."""
+    pix = (pix_f.astype(jnp.int32).astype(jnp.uint32)
+           + jnp.asarray(base, jnp.uint32))
+    return _tea(pix, jnp.full(shape, fd, jnp.uint32))
+
+
 def _kernel(inp, par_ref, fd_ref, out,
-            *, mats, shadow_ray: bool, reduce_var: bool, n_block: int):
+            *, mats, shadow_ray: bool, reduce_var: bool, n_block: int,
+            has_pix: bool = False):
     shape = (RROWS, 128)
     i = pl.program_id(0)
     tiles = {k: inp[j] for j, k in enumerate(_IN_KEYS)}
-    seed = lane_seed(i, fd_ref[0, 0], shape, fd_ref[0, 1])
+    if has_pix:
+        # sorted-wavefront mode: plane N_IN carries the pixel index
+        seed = pix_seed(inp[N_IN], fd_ref[0, 0], shape, fd_ref[0, 1])
+    else:
+        seed = lane_seed(i, fd_ref[0, 0], shape, fd_ref[0, 1])
     par = tuple(par_ref[0, j] for j in range(6))
     res = shade_tiles(tiles, seed, par, mats=mats, shadow_ray=shadow_ray,
                       reduce_var=reduce_var)
@@ -329,16 +345,20 @@ def _fd2(frame_plus_depth):
 def shade_bounce_pallas(planes_in, params_vec, frame_plus_depth,
                         mats, shadow_ray: bool, reduce_var: bool,
                         interpret: bool = False):
-    """planes_in: (N_IN, NB, 128) f32. params_vec: (8,) f32. Returns
-    (N_OUT, NB, 128) f32."""
+    """planes_in: (N_IN, NB, 128) f32 — or (N_IN+1, ...) with a trailing
+    pixel-index plane (sorted-wavefront mode). params_vec: (8,) f32.
+    Returns (N_OUT, NB, 128) f32."""
     nb = planes_in.shape[1]
+    has_pix = planes_in.shape[0] == N_IN + 1
+    n_in = N_IN + (1 if has_pix else 0)
     kern = functools.partial(_kernel, mats=mats, shadow_ray=shadow_ray,
-                             reduce_var=reduce_var, n_block=nb)
+                             reduce_var=reduce_var, n_block=nb,
+                             has_pix=has_pix)
     out = pl.pallas_call(
         kern,
         grid=(nb // RROWS,),
         in_specs=[
-            pl.BlockSpec((N_IN, RROWS, 128), lambda i: (0, i, 0),
+            pl.BlockSpec((n_in, RROWS, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),

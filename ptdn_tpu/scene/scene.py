@@ -89,12 +89,6 @@ class DeviceScene:
                                 # texel (measured ~1.7x faster than the
                                 # multi-dim 3-channel gather on v5e)
     tex_wh: object              # (K, 2) i32 (w, h)
-    # matmul-form triangle data for the Pallas/MXU intersector:
-    # per 128-triangle chunk c and plane p in (n, u, v), tri_mm[c, p] is a
-    # (4, 128) matrix whose columns are (n, -n.v0) / (g1, c1) / (g2, c2),
-    # so [o,1] @ M and [d,0] @ M give every term of the plane/barycentric
-    # ray-triangle test as two tiny matmuls (see ops/pallas/intersect.py)
-    tri_mm: object              # (C, 3, 4, 128) f32
     tri_chunk_min: object       # (C, 3) f32 chunk AABBs (for chunk culling)
     tri_chunk_max: object       # (C, 3) f32
     # Moller-Trumbore SoA for the Pallas scene-intersect kernel:
@@ -297,29 +291,11 @@ class Scene:
             atlas = np.zeros((1, 1, 1, 3), F)
             wh = np.ones((1, 2), np.int32)
 
-        # matmul-form triangle planes for the MXU intersector
         tv = pad_mult(self.tri_v)                     # (Tp, 3, 3)
         tp = tv.shape[0]
         v0, v1, v2 = tv[:, 0], tv[:, 1], tv[:, 2]
         e1, e2 = v1 - v0, v2 - v0
-        nrm = np.cross(e1, e2)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            g1 = np.cross(e2, nrm)
-            g1 = g1 / np.sum(g1 * e1, axis=-1, keepdims=True)
-            g2 = np.cross(e1, nrm)
-            g2 = g2 / np.sum(g2 * e2, axis=-1, keepdims=True)
-        # degenerate/padding tris produce nan/inf rows -> culled in-kernel
-        d0 = np.sum(nrm * v0, axis=-1)
-        c1 = -np.sum(g1 * v0, axis=-1)
-        c2 = -np.sum(g2 * v0, axis=-1)
-        planes = np.stack([
-            np.concatenate([nrm, -d0[:, None]], axis=1),   # (Tp, 4)
-            np.concatenate([g1, c1[:, None]], axis=1),
-            np.concatenate([g2, c2[:, None]], axis=1),
-        ], axis=1).astype(F)                               # (Tp, 3, 4)
         n_chunks = tp // 128
-        tri_mm = np.ascontiguousarray(
-            planes.reshape(n_chunks, 128, 3, 4).transpose(0, 2, 3, 1))
         # chunk AABBs over REAL triangles only (padding rows excluded)
         cmin = np.full((n_chunks, 3), np.inf, F)
         cmax = np.full((n_chunks, 3), -np.inf, F)
@@ -377,7 +353,6 @@ class Scene:
                             + (atlas[..., 2].astype(np.uint32) << 16)
                             ).reshape(-1)),
             tex_wh=j(wh),
-            tri_mm=j(tri_mm),
             tri_chunk_min=j(np.nan_to_num(cmin)),
             tri_chunk_max=j(np.nan_to_num(cmax)),
             tri_moller=j(np.concatenate(

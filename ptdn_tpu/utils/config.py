@@ -83,6 +83,19 @@ class RenderConfig:
     # the 37.9 ms round-1 cornell frame). Takes precedence over
     # fuse_bounce when applicable; same requirements.
     fuse_path: bool = True
+    # per-bounce coherence sorting (mesh scenes): between bounces, reorder
+    # the ray batch by a morton key of the next interaction position so
+    # 1024-lane tiles become chunk-coherent and the per-chunk tile culls
+    # in the intersect/visibility kernels actually fire. Runs the fused
+    # bounce kernel per depth (not the whole-path megakernel) with an
+    # explicit pixel-id plane for RNG parity. The measured-best key is
+    # the PAIR (next-ray first crossed chunk, shadow-ray first crossed
+    # chunk) — geometric keys (morton cell/direction octant) leave tiles
+    # touching most chunks. None = auto: on for scenes with > 4 triangle
+    # chunks on the pallas backend. Per-lane math is placement-independent,
+    # so results match the unsorted path up to XLA fusion differences
+    # (~1 ulp on <1% of lanes; tests/test_engine.py).
+    sort_rays: Any = None
 
     def traced_params(self) -> Dict[str, Any]:
         """Continuous parameters as a traced float32 pytree."""
@@ -106,7 +119,7 @@ class RenderConfig:
             self.blur_variance, self.atrous_nlevel, self.history_level,
             self.sep_color, self.add_color, self.right_view_option,
             self.backend, self.mesh_mode, self.compat,
-            self.fuse_bounce, self.fuse_path,
+            self.fuse_bounce, self.fuse_path, self.sort_rays,
         )
 
     def replace(self, **kw) -> "RenderConfig":

@@ -155,3 +155,31 @@ def test_refractive_scene_runs():
     left, _ = r.render(2)
     assert not np.isnan(left).any()
     assert left.max() > 0
+
+
+def test_sorted_wavefront_matches_unsorted():
+    """Coherence sorting (sort_rays) is a pure reordering: RNG follows
+    the carried pixel-id plane and per-lane math is placement-
+    independent, so radiance matches the unsorted fused-bounce path up
+    to compiler fusion differences (the two programs are distinct XLA
+    graphs, so FMA contraction can differ by ~1 ulp on a handful of
+    lanes — observed max 9e-6 on 0.5% of pixels; any REAL divergence
+    (wrong RNG stream, mis-routed lane, broken unsort) is orders of
+    magnitude larger)."""
+    scene = Scene("/root/reference/scenes/bunny.txt")
+
+    def render(sort):
+        cfg = RenderConfig(backend="pallas", trace_depth=3,
+                           denoise_enable=False, fuse_path=False,
+                           fuse_bounce=True, sort_rays=sort)
+        r = Renderer(scene, cfg, resolution=(64, 64))
+        left, _ = r.render_frame()
+        left2, _ = r.render_frame()
+        return np.asarray(left), np.asarray(left2)
+
+    a1, a2 = render(False)
+    b1, b2 = render(True)
+    for a, b in ((a1, b1), (a2, b2)):
+        exact = (a == b).all(axis=-1).mean()
+        assert exact > 0.95, f"only {exact:.1%} of pixels exact"
+        assert np.max(np.abs(a - b)) < 1e-4
