@@ -319,6 +319,77 @@ def albedo_from_comp(ds, mv, comp4, cap: int, interpret=None):
     return jnp.where(textured[..., None], tex, mv["color"])
 
 
+def packed_texel_gather(ds, sl, cv, cn, interpret: bool):
+    """Gather texels for tile-compacted indices: sl/cv/cn each
+    (dm1, NB, 128) i32 from a kernel's tile_route emission (per
+    1024-lane tile, cv holds the tile's valid texel indices packed
+    row-major in its first cn lanes; sl is each lane's slot, -1 if
+    untextured). Pays only ceil(k/128) gathered rows per tile with a
+    static-size ladder on the global row total. Returns per-lane packed
+    u32 texels as i32 (garbage where sl < 0)."""
+    import jax
+
+    from ptdn_tpu.ops.pallas.path import uncompact_tiles_pallas
+
+    dm1, nb = sl.shape[0], sl.shape[1]
+    nblk = nb // 8
+    tt = dm1 * nblk
+    k = cn.reshape(dm1, nblk, 8, 128)[:, :, 0, 0].reshape(tt)
+    rows_used = jax.lax.shift_right_logical(k + 127, 7)
+    cum_incl = jnp.cumsum(rows_used)
+    cum_ex = cum_incl - rows_used
+    s_total = cum_incl[-1]
+    cv_rows = cv.reshape(tt * 8, 128)
+    table = jax.lax.bitcast_convert_type(ds.tex_flat_u32, jnp.int32)
+    tmax = table.shape[0]
+
+    def build(cap_rows):
+        def f(_):
+            j = jnp.arange(cap_rows)
+            t_j = jnp.minimum(
+                jnp.searchsorted(cum_incl, j, side="right"), tt - 1)
+            r_j = jnp.clip(j - cum_ex[t_j], 0, 7)
+            rows = jnp.take(cv_rows, t_j * 8 + r_j, axis=0)
+            tex = jnp.take(
+                table,
+                jnp.clip(rows, 0, tmax - 1).reshape(-1)
+            ).reshape(cap_rows, 128)
+            texp = jnp.pad(tex, ((0, 8), (0, 0)))
+            w_idx = jnp.minimum(
+                cum_ex[:, None] + jnp.arange(8)[None, :], cap_rows + 7)
+            win = jnp.take(texp, w_idx.reshape(-1), axis=0)
+            return win.reshape(dm1, nb, 128)
+        return f
+
+    ladder = [c for c in (2048, 4096, 8192, 16384) if c < tt * 8]
+    ladder.append(tt * 8)
+    out = build(ladder[-1])
+    for c in reversed(ladder[:-1]):
+        out = (lambda nxt, c: lambda _: jax.lax.cond(
+            s_total <= c, build(c), nxt, None))(out, c)
+    win = out(None)
+    return uncompact_tiles_pallas(win, sl, interpret=interpret)
+
+
+def albedo_from_tilepack(ds, mv, comp3, interpret: bool):
+    """Albedo via tile-wide compacted texel indices (comp3 = (slot,
+    cvals, count), each (NB, 128) i32, from the trace kernel). Unlike
+    the per-row-cap sparse path (albedo_from), this cannot overflow:
+    sorted-wavefront order clusters textured lanes into dense rows that
+    blow any per-row cap and forced the dense fallback every bounce."""
+    sl, cv, cn = comp3
+    packed = packed_texel_gather(ds, sl[None], cv[None], cn[None],
+                                 interpret)[0]
+    nb = sl.shape[0]
+    n = nb * 128
+    packed = packed.reshape(n)
+    rgb = jnp.stack([packed & 0xFF, (packed >> 8) & 0xFF,
+                     (packed >> 16) & 0xFF], axis=-1)
+    tex = rgb.astype(jnp.float32) * COLORDIVIDOR
+    textured = sl.reshape(n) >= 0
+    return jnp.where(textured[..., None], tex, mv["color"])
+
+
 def deferred_radiance(ds, contrib, tex_comp, depth: int, cap: int,
                       interpret: bool):
     """Reconstruct radiance from the whole-path kernel's per-depth
@@ -335,53 +406,12 @@ def deferred_radiance(ds, contrib, tex_comp, depth: int, cap: int,
     a 128-lane-per-row dense fetch), with a static-size ladder on the
     global row total. Cornell depth-8: ~227K real texels -> ~4000 rows
     ~= 512K gathered indices, vs 4.5M dense."""
-    import jax
-
-    from ptdn_tpu.ops.pallas.path import uncompact_tiles_pallas
-
     nb = contrib.shape[1]
     n = nb * 128
 
     if tex_comp is not None:
         sl, cv, cn = tex_comp
-        dm1 = sl.shape[0]
-        nblk = nb // 8
-        tt = dm1 * nblk
-        k = cn.reshape(dm1, nblk, 8, 128)[:, :, 0, 0].reshape(tt)
-        rows_used = jax.lax.shift_right_logical(k + 127, 7)
-        cum_incl = jnp.cumsum(rows_used)
-        cum_ex = cum_incl - rows_used
-        s_total = cum_incl[-1]
-        cv_rows = cv.reshape(tt * 8, 128)
-        table = jax.lax.bitcast_convert_type(ds.tex_flat_u32, jnp.int32)
-        tmax = table.shape[0]
-
-        def build(cap_rows):
-            def f(_):
-                j = jnp.arange(cap_rows)
-                t_j = jnp.minimum(
-                    jnp.searchsorted(cum_incl, j, side="right"), tt - 1)
-                r_j = jnp.clip(j - cum_ex[t_j], 0, 7)
-                rows = jnp.take(cv_rows, t_j * 8 + r_j, axis=0)
-                tex = jnp.take(
-                    table,
-                    jnp.clip(rows, 0, tmax - 1).reshape(-1)
-                ).reshape(cap_rows, 128)
-                texp = jnp.pad(tex, ((0, 8), (0, 0)))
-                w_idx = jnp.minimum(
-                    cum_ex[:, None] + jnp.arange(8)[None, :], cap_rows + 7)
-                win = jnp.take(texp, w_idx.reshape(-1), axis=0)
-                return win.reshape(dm1, nb, 128)
-            return f
-
-        ladder = [c for c in (2048, 4096, 8192, 16384) if c < tt * 8]
-        ladder.append(tt * 8)
-        out = build(ladder[-1])
-        for c in reversed(ladder[:-1]):
-            out = (lambda nxt, c: lambda _: jax.lax.cond(
-                s_total <= c, build(c), nxt, None))(out, c)
-        win = out(None)
-        packed = uncompact_tiles_pallas(win, sl, interpret=interpret)
+        packed = packed_texel_gather(ds, sl, cv, cn, interpret)
         tex_on = sl >= 0
         ratio = [jnp.where(tex_on,
                            ((packed >> (8 * c)) & 0xFF).astype(jnp.float32)
@@ -685,8 +715,22 @@ def make_trace_fn(scene, cfg, resolution, full_height=None, interpret=None):
             allp = jnp.concatenate(
                 [sh, fn[None].astype(jnp.float32),
                  fs[None].astype(jnp.float32), pix[None]], axis=0)
-            rows = allp.reshape(allp.shape[0], n).T[order]
-            allp = rows.T.reshape(allp.shape)
+            k_pl = allp.shape[0]
+            # v5e row gathers run at ~125 M idx/s while the table is
+            # small and fall off a cliff beyond ~110 MB; above the cliff
+            # 8-wide column groups are the measured optimum — (2M, 24)
+            # takes 63 ms in one gather, 32 ms as three 8-wide gathers,
+            # yet 88 ms as two 12-wide ones (benchmarks/micro_sort.py)
+            if k_pl * n * 4 > 110 * 1024 * 1024:
+                outs = []
+                for lo in range(0, k_pl, 8):
+                    hi = min(lo + 8, k_pl)
+                    rows = allp[lo:hi].reshape(hi - lo, n).T[order]
+                    outs.append(rows.T.reshape(hi - lo, nb, 128))
+                allp = jnp.concatenate(outs, axis=0)
+            else:
+                rows = allp.reshape(k_pl, n).T[order]
+                allp = rows.T.reshape(allp.shape)
             return allp[:-1], allp[-1]
 
         def bounce_sorted(carry, depth):
@@ -716,23 +760,36 @@ def make_trace_fn(scene, cfg, resolution, full_height=None, interpret=None):
                 jnp.stack([fd, lane0]), _static_mats(scene),
                 cfg.shadow_ray, cfg.reduce_var, interpret=interp)
             outA, pix = permute_by_key(ds, outA, pix)
-            out = BK.trace_bounce_pallas(
+            out, tex_comp = BK.trace_bounce_pallas(
                 outA, pv, ds,
                 geom_types=scene.geom_types,
                 geom_mats=scene.geom_material_ids, n_tris=scene.n_tris,
                 light_geom=light_geom, do_vis=do_vis,
                 light_emit=light_emit_color, compat=cfg.compat,
+                emit_tex=show_tex,
+                mat_texids=tuple(m.texid for m in scene.materials),
+                tex_whs=tuple((t.shape[1], t.shape[0])
+                              for t in scene.textures),
                 interpret=interp)
 
             def fetch_alb(_):
                 from ptdn_tpu.ops.pallas import bounce as BK
 
-                uv = jnp.stack([out[BK.B_UU].reshape(n),
-                                out[BK.B_VV].reshape(n)], axis=-1)
                 mat_id = out[BK.B_MAT].reshape(n).astype(jnp.int32)
-                nalb = albedo_from(ds, read_mat(ds, mat_id), uv,
-                                   show_tex, sparse_cap=scap,
-                                   interpret=interp)
+                mv = read_mat(ds, mat_id)
+                if show_tex:
+                    # sorted order clusters textured lanes into dense
+                    # rows that overflow albedo_from's per-row sparse
+                    # cap (forcing its dense fallback every bounce);
+                    # the kernel's tile-wide packing can't overflow
+                    nalb = albedo_from_tilepack(ds, mv, tex_comp,
+                                                interp)
+                else:
+                    uv = jnp.stack([out[BK.B_UU].reshape(n),
+                                    out[BK.B_VV].reshape(n)], axis=-1)
+                    nalb = albedo_from(ds, mv, uv, show_tex,
+                                       sparse_cap=scap,
+                                       interpret=interp)
                 return jnp.stack([plane(nalb[:, 0]), plane(nalb[:, 1]),
                                   plane(nalb[:, 2])])
 

@@ -184,9 +184,11 @@ def bounce_fused_pallas(planes_in, params_vec, frame_plus_depth, ds,
 
 def _trace_kernel(inp, par_ref,
                   tf_r, inv_r, invt_r, gbbmin_r, gbbmax_r, tri_r, cmin_r,
-                  cmax_r, attr_r, out,
-                  *, geom_types, geom_mats, n_tris, n_chunks, cull,
-                  compat, light_geom, do_vis, light_emit, has_fc):
+                  cmax_r, attr_r, out, *tex_outs,
+                  geom_types, geom_mats, n_tris, n_chunks, cull,
+                  compat, light_geom, do_vis, light_emit, has_fc,
+                  emit_tex=False, mat_texids=(), tex_whs=(),
+                  atlas_hw=(1, 1)):
     from ptdn_tpu.ops.pallas.shade import (O_ACT, O_CB, O_CG, O_CR, O_DIF,
                                            O_DX, O_DY, O_DZ, O_NEE, O_RB,
                                            O_RG, O_RR, O_SDX, O_SDY, O_SDZ,
@@ -246,9 +248,29 @@ def _trace_kernel(inp, par_ref,
         out[B_NY] = ny
         out[B_NZ] = nz
         out[B_MAT] = mat
-        out[B_ACT] = act * jnp.where(geom >= 0.0, 1.0, 0.0)
+        act2 = act * jnp.where(geom >= 0.0, 1.0, 0.0)
+        out[B_ACT] = act2
         out[B_UU] = uu
         out[B_VV] = vv
+        if emit_tex:
+            # tile-WIDE compaction of the next hit's texel indices
+            # (sorted order clusters textured lanes, so per-row caps
+            # overflow; the global packing can't — see
+            # engine.wavefront.albedo_from_tilepack)
+            from ptdn_tpu.ops.pallas.compact import (tile_gather_compact,
+                                                     tile_route)
+            from ptdn_tpu.ops.pallas.scene_intersect import tex_index_tiles
+
+            sl_o, cv_o, cn_o = tex_outs
+            tidx = tex_index_tiles(uu, vv, mat, shape,
+                                   mat_texids=mat_texids, tex_whs=tex_whs,
+                                   atlas_hw=atlas_hw)
+            tidx = jnp.where(act2 > 0.5, tidx, -1)
+            slot, k_tile, route = tile_route(
+                jnp.where(tidx >= 0, 1, 0), shape)
+            sl_o[:] = slot
+            cv_o[:] = tile_gather_compact(tidx, route, shape)
+            cn_o[:] = jnp.full(shape, k_tile, jnp.int32)
 
     @pl.when(jnp.logical_not(do_next))
     def _():
@@ -262,11 +284,18 @@ def _trace_kernel(inp, par_ref,
         out[B_MAT] = zero
         out[B_UU] = zero
         out[B_VV] = zero
+        if emit_tex:
+            sl_o, cv_o, cn_o = tex_outs
+            izero = jnp.full(shape, -1, jnp.int32)
+            sl_o[:] = izero
+            cv_o[:] = jnp.zeros(shape, jnp.int32)
+            cn_o[:] = jnp.zeros(shape, jnp.int32)
 
 
 def trace_bounce_pallas(planes_in, params_vec, ds,
                         *, geom_types, geom_mats, n_tris, light_geom,
                         do_vis, light_emit, compat, cull=True,
+                        emit_tex=False, mat_texids=(), tex_whs=(),
                         interpret=False):
     """planes_in: (shade.N_OUT, NB, 128) f32 (the shade kernel's output,
     coherence-sorted) — or (shade.N_OUT+2, ...) with trailing
@@ -280,29 +309,41 @@ def trace_bounce_pallas(planes_in, params_vec, ds,
     has_fc = planes_in.shape[0] == SH_N_OUT + 2
     n_in = planes_in.shape[0]
     n_chunks = int(ds.tri_chunk_min.shape[0]) if n_tris else 0
+    atlas_hw = (int(ds.tex_atlas.shape[1]), int(ds.tex_atlas.shape[2]))
     kern = functools.partial(
         _trace_kernel, geom_types=tuple(geom_types),
         geom_mats=tuple(geom_mats), n_tris=n_tris, n_chunks=n_chunks,
         cull=cull, compat=compat, light_geom=light_geom, do_vis=do_vis,
-        light_emit=tuple(float(x) for x in light_emit), has_fc=has_fc)
+        light_emit=tuple(float(x) for x in light_emit), has_fc=has_fc,
+        emit_tex=emit_tex, mat_texids=tuple(mat_texids),
+        tex_whs=tuple(tex_whs), atlas_hw=atlas_hw)
     plane_in_spec = pl.BlockSpec((n_in, RROWS, 128),
                                  lambda i: (0, i, 0),
                                  memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    ray_spec = pl.BlockSpec((RROWS, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_specs = [pl.BlockSpec((N_BOUT, RROWS, 128), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((N_BOUT, nb, 128), jnp.float32)]
+    if emit_tex:
+        out_specs += [ray_spec] * 3
+        out_shape += [jax.ShapeDtypeStruct((nb, 128), jnp.int32)] * 3
+    outs = pl.pallas_call(
         kern,
         grid=(nb // RROWS,),
         in_specs=[plane_in_spec,
                   pl.BlockSpec((1, 8), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
                   smem, smem, smem, smem, smem, full, smem, smem, full],
-        out_specs=pl.BlockSpec((N_BOUT, RROWS, 128), lambda i: (0, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N_BOUT, nb, 128), jnp.float32),
+        out_specs=out_specs if emit_tex else out_specs[0],
+        out_shape=out_shape if emit_tex else out_shape[0],
         interpret=interpret,
     )(planes_in, params_vec.reshape(1, 8),
       ds.geom_transform, ds.geom_inverse, ds.geom_inv_transpose,
       ds.geom_bb_min, ds.geom_bb_max, ds.tri_moller,
       ds.tri_chunk_min, ds.tri_chunk_max, ds.tri_attr_t)
-    return out
+    if emit_tex:
+        return outs[0], tuple(outs[1:])
+    return outs, None

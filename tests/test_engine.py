@@ -183,3 +183,24 @@ def test_sorted_wavefront_matches_unsorted():
         exact = (a == b).all(axis=-1).mean()
         assert exact > 0.95, f"only {exact:.1%} of pixels exact"
         assert np.max(np.abs(a - b)) < 1e-4
+
+
+def test_sorted_wavefront_textured_matches_unsorted(cornell):
+    """Same reordering-invariance as above on a TEXTURED scene: the
+    sorted path fetches albedo through the trace kernel's tile-wide
+    texel compaction (albedo_from_tilepack) instead of the per-row
+    sparse caps (which sorted order overflows), so this locks the
+    packed-gather route end to end."""
+    def render(sort):
+        cfg = RenderConfig(backend="pallas", trace_depth=3,
+                           denoise_enable=False, fuse_path=False,
+                           fuse_bounce=True, sort_rays=sort)
+        r = Renderer(cornell, cfg, resolution=(64, 64))
+        left, _ = r.render_frame()
+        return np.asarray(left)
+
+    a = render(False)
+    b = render(True)
+    exact = (a == b).all(axis=-1).mean()
+    assert exact > 0.95, f"only {exact:.1%} of pixels exact"
+    assert np.max(np.abs(a - b)) < 1e-4
