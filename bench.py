@@ -81,11 +81,8 @@ def main():
         for name, res, fuse in [
             ("diamond", None, True),
             ("bunny", None, True),
-            ("room", None, False),   # room: 3-launch path ~2% faster
+            ("room", None, True),   # fused+sorted+tilepack: 160 vs 259 ms
         ]:
-            # fused bounce megakernel wins on diamond/bunny (incoherent
-            # bounce rays), loses slightly on room and cornell — measured
-            # per scene (docs/PERF_NOTES.md)
             c = RenderConfig(trace_depth=8, fuse_bounce=fuse, **svgf)
             m, _ = run_config(f"{args.scenes_dir}/{name}.txt", res,
                               args.frames, args.warmup, c)

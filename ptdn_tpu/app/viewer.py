@@ -130,6 +130,58 @@ class Viewer:
             if not self.handle(line):
                 break
 
+    def watch(self, max_frames=None, input_poll=None, show_every=8,
+              report=True):
+        """Continuous live render loop — the reference's vsync'd
+        mainLoop (preview.cpp:377-413): render every iteration, poll
+        input WITHOUT blocking, apply commands as they arrive. Traced
+        config changes (sigmas, alphas, toggles, camera) re-use the
+        jitted step — no recompile mid-loop; only structural changes
+        (trace_depth, backend) re-jit, exactly like the reference
+        rebuilding its CUDA state on reset (main.cpp:194-201).
+
+        input_poll: callable returning one command string or None
+        (default: select() on stdin). Returns frames rendered."""
+        import time
+
+        if input_poll is None:
+            import select
+
+            def input_poll():
+                ready, _, _ = select.select([sys.stdin], [], [], 0.0)
+                return sys.stdin.readline() if ready else None
+
+        frames = 0
+        t0 = time.time()
+        last_report = t0
+        left = right = None
+        while max_frames is None or frames < max_frames:
+            cmd = input_poll()
+            if cmd is not None and not self.handle_nodraw(cmd):
+                break
+            left, right = self.r.render_frame()
+            frames += 1
+            if frames % show_every == 0:
+                self._show(np.asarray(left), np.asarray(right))
+            now = time.time()
+            if report and now - last_report >= 2.0:
+                print(f"watch: {frames} frames, "
+                      f"{frames / (now - t0):.1f} fps "
+                      f"(frame {self.r.frame})", file=sys.stderr)
+                last_report = now
+        if left is not None:
+            self._show(np.asarray(left), np.asarray(right))
+        return frames
+
+    def handle_nodraw(self, cmd: str) -> bool:
+        """handle() without the per-command render/PNG (watch mode owns
+        the render cadence)."""
+        was_running, self.running = self.running, False
+        try:
+            return self.handle(cmd)
+        finally:
+            self.running = was_running
+
 
 def main(argv=None) -> int:
     import argparse
@@ -139,6 +191,11 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default="viewer.png")
     ap.add_argument("--depth", type=int, default=4)
     ap.add_argument("--denoise", action="store_true")
+    ap.add_argument("--watch", action="store_true",
+                    help="continuous live render loop (non-blocking "
+                         "input) instead of render-per-command")
+    ap.add_argument("--frames", type=int, default=None,
+                    help="with --watch: stop after N frames")
     args = ap.parse_args(argv)
 
     from ptdn_tpu.engine import Renderer
@@ -149,7 +206,11 @@ def main(argv=None) -> int:
                        denoise_enable=args.denoise,
                        temporal_enable=args.denoise,
                        spatial_enable=args.denoise)
-    Viewer(Renderer(Scene(args.scene), cfg), out_path=args.out).loop()
+    v = Viewer(Renderer(Scene(args.scene), cfg), out_path=args.out)
+    if args.watch:
+        v.watch(max_frames=args.frames)
+    else:
+        v.loop()
     return 0
 
 

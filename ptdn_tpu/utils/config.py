@@ -71,10 +71,9 @@ class RenderConfig:
     # is allowed per-quirk later; parity tests run with compat=True.
     compat: bool = True
     # fully-fused bounce megakernel (ops/pallas/bounce.py): shade + NEE
-    # visibility + next closest-hit in ONE Pallas launch. Once the
-    # texture fetch went sparse the launch/glue savings outweigh the
-    # megakernel's scheduling penalty on every scene except room
-    # (cornell 43.0->37.9 ms, diamond/bunny win, room -2%): default on.
+    # visibility + next closest-hit in ONE Pallas launch. Wins on every
+    # scene (it also enables per-bounce coherence sorting on mesh
+    # scenes: room 259 -> 160 ms, bunny 704 -> 221 ms): default on.
     # Requires backend="pallas" and an analytic NEE light.
     fuse_bounce: bool = True
     # whole-path megakernel (ops/pallas/path.py): the ENTIRE bounce loop

@@ -315,3 +315,28 @@ def test_mesh_compact_path_parity():
     assert lit.dtype == np.bool_ and lit.shape == (n,)
     hit_light = np.asarray(b["geom_id"]) == 0
     assert np.array_equal(lit, hit_light)
+
+
+def test_interpolate_compat_false_fixes_normal_weights():
+    """compat=False uses TRUE barycentric weights for the smoothed
+    normal; compat=True replicates the reference's swapped ones
+    (sceneStructs.h:162-170). At a vertex, the fixed mode must return
+    that vertex's normal; the compat mode returns a different one."""
+    import jax.numpy as jnp
+
+    from ptdn_tpu.ops.intersect import interpolate_tri_hit
+
+    n0 = jnp.array([[1.0, 0, 0]]); n1 = jnp.array([[0, 1.0, 0]])
+    n2 = jnp.array([[0, 0, 1.0]])
+    uv0 = jnp.array([[0.0, 0]]); uv1 = jnp.array([[1.0, 0]])
+    uv2 = jnp.array([[0.0, 1]])
+    # hit exactly at vertex 1: u=1, v=0
+    u = jnp.array([1.0]); v = jnp.array([0.0])
+    n_fix, uv_fix = interpolate_tri_hit(u, v, n0, n1, n2, uv0, uv1, uv2,
+                                        compat=False)
+    n_ref, uv_ref = interpolate_tri_hit(u, v, n0, n1, n2, uv0, uv1, uv2,
+                                        compat=True)
+    np.testing.assert_allclose(np.asarray(n_fix[0]), [0, 1, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(n_ref[0]), [1, 0, 0], atol=1e-6)
+    # uv interpolation is NOT part of the quirk: identical either way
+    np.testing.assert_allclose(np.asarray(uv_fix), np.asarray(uv_ref))
