@@ -1,8 +1,13 @@
+import sys
+
 import numpy as np, jax, jax.numpy as jnp
 from ptdn_tpu.utils.timing import bench_slope
 from ptdn_tpu.denoise import reproject as RP
 
-h = w = 800
+if len(sys.argv) > 1:
+    w, h = (int(x) for x in sys.argv[1].split("x"))
+else:
+    h = w = 800
 rng = np.random.default_rng(0)
 def img(c=3):
     return jnp.asarray(rng.normal(size=(h, w, c)).astype(np.float32))

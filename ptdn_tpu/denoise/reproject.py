@@ -172,7 +172,17 @@ def back_projection_window(res, current_color, curr_gb, prev_gb,
 
     gi = jnp.clip(fy + 1, 0, gh - 1)
     gj = jnp.clip(fx + 1, 0, gw - 1)
-    g = table[(gi * gw + gj).reshape(-1)].reshape(h, w, 9, 10)
+    idx = (gi * gw + gj).reshape(-1)
+    if gh * gw * 90 * 4 > 110 * 1024 * 1024:
+        # v5e row gathers fall off a bandwidth cliff when the table
+        # exceeds ~110 MB; 8-wide column groups are the measured
+        # optimum past it (benchmarks/micro_sort.py). At 1080p this
+        # table is ~750 MB — same rows, column-split fetch.
+        parts = [table[:, lo:min(lo + 8, 90)][idx]
+                 for lo in range(0, 90, 8)]
+        g = jnp.concatenate(parts, axis=-1).reshape(h, w, 9, 10)
+    else:
+        g = table[idx].reshape(h, w, 9, 10)
 
     geo_f = curr_geom.astype(jnp.float32)
     taps = {}

@@ -319,27 +319,28 @@ def albedo_from_comp(ds, mv, comp4, cap: int, interpret=None):
     return jnp.where(textured[..., None], tex, mv["color"])
 
 
-def packed_texel_gather(ds, sl, cv, cn, interpret: bool):
+def packed_texel_gather(ds, sl, cv, cn, interpret: bool, rrows: int = 8):
     """Gather texels for tile-compacted indices: sl/cv/cn each
     (dm1, NB, 128) i32 from a kernel's tile_route emission (per
-    1024-lane tile, cv holds the tile's valid texel indices packed
+    rrows*128-lane tile, cv holds the tile's valid texel indices packed
     row-major in its first cn lanes; sl is each lane's slot, -1 if
     untextured). Pays only ceil(k/128) gathered rows per tile with a
-    static-size ladder on the global row total. Returns per-lane packed
-    u32 texels as i32 (garbage where sl < 0)."""
+    static-size ladder on the global row total. `rrows` must match the
+    emitting kernel's block rows. Returns per-lane packed u32 texels as
+    i32 (garbage where sl < 0)."""
     import jax
 
     from ptdn_tpu.ops.pallas.path import uncompact_tiles_pallas
 
     dm1, nb = sl.shape[0], sl.shape[1]
-    nblk = nb // 8
+    nblk = nb // rrows
     tt = dm1 * nblk
-    k = cn.reshape(dm1, nblk, 8, 128)[:, :, 0, 0].reshape(tt)
+    k = cn.reshape(dm1, nblk, rrows, 128)[:, :, 0, 0].reshape(tt)
     rows_used = jax.lax.shift_right_logical(k + 127, 7)
     cum_incl = jnp.cumsum(rows_used)
     cum_ex = cum_incl - rows_used
     s_total = cum_incl[-1]
-    cv_rows = cv.reshape(tt * 8, 128)
+    cv_rows = cv.reshape(tt * rrows, 128)
     table = jax.lax.bitcast_convert_type(ds.tex_flat_u32, jnp.int32)
     tmax = table.shape[0]
 
@@ -348,27 +349,29 @@ def packed_texel_gather(ds, sl, cv, cn, interpret: bool):
             j = jnp.arange(cap_rows)
             t_j = jnp.minimum(
                 jnp.searchsorted(cum_incl, j, side="right"), tt - 1)
-            r_j = jnp.clip(j - cum_ex[t_j], 0, 7)
-            rows = jnp.take(cv_rows, t_j * 8 + r_j, axis=0)
+            r_j = jnp.clip(j - cum_ex[t_j], 0, rrows - 1)
+            rows = jnp.take(cv_rows, t_j * rrows + r_j, axis=0)
             tex = jnp.take(
                 table,
                 jnp.clip(rows, 0, tmax - 1).reshape(-1)
             ).reshape(cap_rows, 128)
-            texp = jnp.pad(tex, ((0, 8), (0, 0)))
+            texp = jnp.pad(tex, ((0, rrows), (0, 0)))
             w_idx = jnp.minimum(
-                cum_ex[:, None] + jnp.arange(8)[None, :], cap_rows + 7)
+                cum_ex[:, None] + jnp.arange(rrows)[None, :],
+                cap_rows + rrows - 1)
             win = jnp.take(texp, w_idx.reshape(-1), axis=0)
             return win.reshape(dm1, nb, 128)
         return f
 
-    ladder = [c for c in (2048, 4096, 8192, 16384) if c < tt * 8]
-    ladder.append(tt * 8)
+    ladder = [c for c in (2048, 4096, 8192, 16384) if c < tt * rrows]
+    ladder.append(tt * rrows)
     out = build(ladder[-1])
     for c in reversed(ladder[:-1]):
         out = (lambda nxt, c: lambda _: jax.lax.cond(
             s_total <= c, build(c), nxt, None))(out, c)
     win = out(None)
-    return uncompact_tiles_pallas(win, sl, interpret=interpret)
+    return uncompact_tiles_pallas(win, sl, rrows=rrows,
+                                  interpret=interpret)
 
 
 def albedo_from_tilepack(ds, mv, comp3, interpret: bool):
@@ -411,7 +414,9 @@ def deferred_radiance(ds, contrib, tex_comp, depth: int, cap: int,
 
     if tex_comp is not None:
         sl, cv, cn = tex_comp
-        packed = packed_texel_gather(ds, sl, cv, cn, interpret)
+        from ptdn_tpu.ops.pallas.path import RROWS as PATH_RROWS
+        packed = packed_texel_gather(ds, sl, cv, cn, interpret,
+                                     rrows=PATH_RROWS)
         tex_on = sl >= 0
         ratio = [jnp.where(tex_on,
                            ((packed >> (8 * c)) & 0xFF).astype(jnp.float32)
@@ -507,7 +512,10 @@ def make_trace_fn(scene, cfg, resolution, full_height=None, interpret=None):
     # batch and slice results at return (odd resolutions like 600x600
     # previously fell back to the slow XLA bounce path, and multi-chip
     # row shards are rarely aligned)
-    lane_pad = (-n) % 1024 if cfg.backend == "pallas" else 0
+    # the whole-path kernel runs 32-row (4096-lane) blocks; every other
+    # plane kernel uses 8-row blocks, for which 4096 alignment also holds
+    from ptdn_tpu.ops.pallas.path import RROWS as _PATH_RROWS
+    lane_pad = (-n) % (_PATH_RROWS * 128) if cfg.backend == "pallas" else 0
     n = n + lane_pad
     light_geom = 0   # reference hardcodes geoms[0] (pathtrace.cu:360-361)
     light_visible = make_light_visibility(scene, cfg, light_geom,
@@ -980,7 +988,7 @@ def make_trace_fn(scene, cfg, resolution, full_height=None, interpret=None):
                     active, isect, alb), None
 
         plane_ok = cfg.backend == "pallas" and n % (8 * 128) == 0
-        if plane_ok and use_path:
+        if plane_ok and use_path and n % (_PATH_RROWS * 128) == 0:
             from ptdn_tpu.ops.pallas.path import path_trace_fused_pallas
 
             planes16 = jnp.stack([

@@ -97,8 +97,10 @@ def tile_route(valid_i, shape):
     # per-row totals, broadcast [S,128]; exclusive cross-row offsets C_s
     rowtot = jnp.broadcast_to(jax.lax.slice(inc, (0, 127), shape), shape)
     csum = rowtot
-    for k in (1, 2, 4):
+    k = 1
+    while k < srows:
         csum = csum + jnp.where(row >= k, jnp.roll(csum, k, axis=0), 0)
+        k *= 2
     cs = csum - rowtot                       # exclusive cumsum down rows
     k_total = jnp.max(csum)
 

@@ -164,7 +164,7 @@ def light_visibility_tiles(o, d, vis_refs, shape, *, geom_types,
         def group(g, lit):
             sl = tri_r[pl.ds(c * TCHUNK + g * TGROUP, TGROUP), :]
             occ_rows = []
-            for r in range(RROWS):
+            for r in range(shape[0]):
                 ro = occ_one_row(sl, ox[r:r + 1], oy[r:r + 1],
                                  oz[r:r + 1], dx[r:r + 1], dy[r:r + 1],
                                  dz[r:r + 1], ta[r:r + 1],
@@ -434,7 +434,7 @@ def _mesh_best(tri_r, cmin_r, cmax_r, o, d, ta, ga, shape, n_tris: int,
         e1x, e1y, e1z = tri[:, 3:4], tri[:, 4:5], tri[:, 5:6]
         e2x, e2y, e2z = tri[:, 6:7], tri[:, 7:8], tri[:, 8:9]
         new_rows = []
-        for r in range(RROWS):
+        for r in range(shape[0]):
             rdx, rdy, rdz = dx[r:r + 1], dy[r:r + 1], dz[r:r + 1]
             rox, roy, roz = ox[r:r + 1], oy[r:r + 1], oz[r:r + 1]
             # p = cross(d, e2): [8, 128]
