@@ -36,6 +36,44 @@ run("window (1 gather, strided build)", RP.back_projection_window)
 run("stencil (no gathers; static cam)", RP.back_projection_stencil)
 run("auto (cond dispatch)", RP.back_projection_auto)
 
+# banded slab gather: time with LOCAL displacements (its gate), which is
+# what makes the slab working set small. Build positions that reproject
+# to (pixel + dy, pixel + dx) with |dy| <= margin.
+ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+rng2 = np.random.default_rng(3)
+dy = rng2.uniform(-14, 14, size=(h, w)).astype(np.float32)
+dxl = rng2.uniform(-60, 60, size=(h, w)).astype(np.float32)
+px = (xs + 0.5 + dxl).astype(np.float32)
+py = (ys + 0.5 + dy).astype(np.float32)
+z = -np.ones_like(px)
+vx = -((px + 0.5) / w - 0.5) * 2.0
+vy = -((py + 0.5) / h - 0.5) * 2.0
+gb_local = dict(gb_c)
+gb_local["position"] = jnp.asarray(np.stack([vx, vy, z], -1))
+
+def run_local(tag, fn):
+    @jax.jit
+    def f(color):
+        out = fn((w, h), color, gb_local, gb_p, jnp.asarray(vm), ch, mh,
+                 hl, jnp.float32(0.2), jnp.float32(0.2))
+        return out[1]
+    ms = bench_slope(lambda c: f(c), color, n1=4, n2=12,
+                     chain=lambda out, a: (out,))
+    print(f"{tag:36s} {ms:7.2f} ms")
+
+run_local("window  (local +-14px motion)", RP.back_projection_window)
+run_local("banded  (local +-14px motion)", RP.back_projection_banded)
+
+b1 = RP.back_projection_window((w, h), color, gb_local, gb_p,
+                               jnp.asarray(vm), ch, mh, hl,
+                               jnp.float32(0.2), jnp.float32(0.2))
+b2 = RP.back_projection_banded((w, h), color, gb_local, gb_p,
+                               jnp.asarray(vm), ch, mh, hl,
+                               jnp.float32(0.2), jnp.float32(0.2))
+for i, (x, y) in enumerate(zip(b1, b2)):
+    d = float(jnp.max(jnp.abs(x.astype(jnp.float32) - y.astype(jnp.float32))))
+    print(f"banded parity out[{i}]: max|diff| = {d}")
+
 # parity: stencil must equal window bit-for-bit when displacement <= 1.
 # identity view matrix reprojects pos->screen arbitrarily; instead build
 # positions whose reprojection IS the pixel center (displacement 0).

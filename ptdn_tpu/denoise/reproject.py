@@ -403,13 +403,95 @@ def back_projection_stencil(res, current_color, curr_gb, prev_gb,
                                  lum, color_alpha_min, moment_alpha_min)
 
 
+def back_projection_banded(res, current_color, curr_gb, prev_gb,
+                           prev_viewmat, color_history, moment_history,
+                           history_length, color_alpha_min,
+                           moment_alpha_min, band_rows=64, margin=16):
+    """back_projection_window with the gather split into horizontal
+    BANDS, each reading a statically-sliced slab of the packed-window
+    table. Camera-motion flow is smooth, so when every valid pixel's
+    vertical displacement is <= `margin` (the back_projection_auto gate
+    for this path), each output band's window centers live in its own
+    slab — the gather's working set drops from the whole table (~750 MB
+    at 1080p, where the flat gather slows ~4x) to a few tens of MB.
+    Value-exact vs back_projection_window under the gate: valid-geometry
+    pixels index identically; geom_id==-1 pixels gather arbitrary rows
+    in EITHER path, and every tap of theirs fails the isReprjValid geom
+    test, so their outputs never read the gathered values."""
+    import jax
+
+    w, h = res
+    pos = curr_gb["position"]
+    curr_geom = curr_gb["geom_id"]
+    curr_normal = curr_gb["normal"]
+    lum = luminance(current_color)
+
+    fx, fy, fracx, fracy, base_valid = _reproj_base(res, pos, prev_viewmat)
+
+    pix9 = jnp.concatenate([
+        color_history.reshape(h, w, 3),
+        moment_history.reshape(h, w, 2),
+        history_length.reshape(h, w, 1).astype(jnp.float32),
+        prev_gb["normal"].reshape(h, w, 3),
+    ], axis=-1)
+    pad9 = jnp.pad(pix9, ((2, 2), (2, 2), (0, 0)))
+    padg = jnp.pad(prev_gb["geom_id"].astype(jnp.float32)[..., None],
+                   ((2, 2), (2, 2), (0, 0)), constant_values=-1.0)
+    padded = jnp.concatenate([pad9, padg], axis=-1)   # (h+4, w+4, 10)
+
+    gh, gw = h + 2, w + 2
+    cells = []
+    for a in range(3):
+        for b in range(3):
+            cells.append(padded[a:a + gh, b:b + gw, :])
+    grid = jnp.concatenate(cells, axis=-1)            # (gh, gw, 90)
+    # pad so every band slab is the same static height, including the
+    # last (possibly partial) band's slab
+    n_bands = -(-h // band_rows)
+    bot = margin + 1 + (n_bands * band_rows - h)
+    gridp = jnp.pad(grid, ((margin, bot), (0, 0), (0, 0)))
+
+    gj = jnp.clip(fx + 1, 0, gw - 1)
+    gi = jnp.clip(fy + 1, 0, gh - 1)
+
+    slab_h = band_rows + 2 * margin + 1
+    outs = []
+    for b in range(n_bands):
+        r0, r1 = b * band_rows, min((b + 1) * band_rows, h)
+        slab = jax.lax.optimization_barrier(
+            gridp[r0:r0 + slab_h].reshape(slab_h * gw, 90))
+        li = jnp.clip(gi[r0:r1] + margin - r0, 0, slab_h - 1)
+        idx = (li * gw + gj[r0:r1]).reshape(-1)
+        outs.append(slab[idx].reshape(r1 - r0, w, 9, 10))
+    g = jnp.concatenate(outs, axis=0)
+
+    geo_f = curr_geom.astype(jnp.float32)
+    taps = {}
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            a = g[..., (dy + 1) * 3 + (dx + 1), :]
+            qx = fx + dx
+            qy = fy + dy
+            inb = (qx >= 0) & (qx < w) & (qy >= 0) & (qy < h)
+            pg = a[..., 9]
+            same = (pg != -1) & (pg == geo_f)
+            nd = jnp.linalg.norm(a[..., 6:9] - curr_normal, axis=-1)
+            taps[(dy, dx)] = (a, inb & same & (nd <= 0.1))
+
+    return _accumulate_from_taps(taps, base_valid, fracx, fracy,
+                                 current_color, curr_geom, history_length,
+                                 lum, color_alpha_min, moment_alpha_min)
+
+
 def back_projection_auto(res, current_color, curr_gb, prev_gb,
                          prev_viewmat, color_history, moment_history,
                          history_length, color_alpha_min, moment_alpha_min):
     """Runtime dispatch: the gather-free stencil path when every
     reprojected base is within +-1 pixel of its own position (static or
-    sub-pixel camera motion — the common interactive case), else the
-    single-gather packed-window path (arbitrary motion)."""
+    sub-pixel camera motion — the common interactive case); the banded
+    slab gather when vertical motion stays under its margin (smooth
+    camera animation); else the single-gather packed-window path
+    (arbitrary motion)."""
     import jax
 
     w, h = res
@@ -423,6 +505,7 @@ def back_projection_auto(res, current_color, curr_gb, prev_gb,
     dyv = jnp.where(valid, jnp.abs(fy - iy), 0)
     dxv = jnp.where(valid, jnp.abs(fx - ix), 0)
     near = (jnp.max(dyv) <= 1) & (jnp.max(dxv) <= 1)
+    banded_ok = jnp.max(dyv) <= BAND_MARGIN
 
     args = (current_color, curr_gb, prev_gb, prev_viewmat, color_history,
             moment_history, history_length, color_alpha_min,
@@ -430,8 +513,18 @@ def back_projection_auto(res, current_color, curr_gb, prev_gb,
     return jax.lax.cond(
         near,
         lambda a: back_projection_stencil(res, *a),
-        lambda a: back_projection_window(res, *a),
+        lambda a: jax.lax.cond(
+            banded_ok,
+            lambda aa: back_projection_banded(res, *aa,
+                                              margin=BAND_MARGIN),
+            lambda aa: back_projection_window(res, *aa),
+            a),
         args)
+
+
+# vertical-motion bound (pixels/frame) under which the banded slab
+# gather is value-exact; beyond it the full window gather runs
+BAND_MARGIN = 16
 
 
 def back_projection_packed2(res, current_color, curr_gb, prev_gb,

@@ -380,9 +380,10 @@ def albedo_from_tilepack(ds, mv, comp3, interpret: bool):
     the per-row-cap sparse path (albedo_from), this cannot overflow:
     sorted-wavefront order clusters textured lanes into dense rows that
     blow any per-row cap and forced the dense fallback every bounce."""
+    from ptdn_tpu.ops.pallas.bounce import RROWS as BOUNCE_RROWS
     sl, cv, cn = comp3
     packed = packed_texel_gather(ds, sl[None], cv[None], cn[None],
-                                 interpret)[0]
+                                 interpret, rrows=BOUNCE_RROWS)[0]
     nb = sl.shape[0]
     n = nb * 128
     packed = packed.reshape(n)

@@ -257,3 +257,48 @@ def test_backprojection_stencil_parity():
     for x, y, name in zip(a, c, ["var", "color", "moment", "hist"]):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    atol=1e-5, err_msg=name)
+
+
+def test_backprojection_banded_parity():
+    """The banded slab gather must match back_projection_window
+    BIT-exactly whenever vertical displacement <= its margin (the
+    back_projection_auto gate), including partial last bands and
+    geom_id == -1 pixels (whose gathered rows differ between paths but
+    are never read through the validity mask)."""
+    from ptdn_tpu.denoise.reproject import (back_projection_banded,
+                                            back_projection_window)
+
+    rng = np.random.default_rng(11)
+    h, w = 70, 48   # not divisible by band_rows: exercises partial band
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    dy = rng.uniform(-14, 14, size=(h, w)).astype(np.float32)
+    dx = rng.uniform(-30, 30, size=(h, w)).astype(np.float32)
+    px = xs + 0.5 + dx
+    py = ys + 0.5 + dy
+    z = -np.ones_like(px, np.float32)
+    vx = -((px + 0.5) / w - 0.5) * 2.0
+    vy = -((py + 0.5) / h - 0.5) * 2.0
+    vm = np.eye(4, dtype=np.float32)
+    vm[2, 2] = -1.0
+    gb_c = {
+        "position": jnp.asarray(np.stack([vx, vy, z], -1).astype(np.float32)),
+        "normal": jnp.asarray(rng.normal(size=(h, w, 3)).astype(np.float32)),
+        "geom_id": jnp.asarray(rng.integers(-1, 3, size=(h, w)).astype(np.int32)),
+    }
+    gb_p = {
+        "position": gb_c["position"],
+        "normal": jnp.asarray(np.asarray(gb_c["normal"])
+                              + 0.01 * rng.normal(size=(h, w, 3)).astype(np.float32)),
+        "geom_id": jnp.asarray(rng.integers(-1, 3, size=(h, w)).astype(np.int32)),
+    }
+    color = jnp.asarray(rng.uniform(size=(h, w, 3)).astype(np.float32))
+    ch = jnp.asarray(rng.uniform(size=(h, w, 3)).astype(np.float32))
+    mh = jnp.asarray(rng.uniform(size=(h, w, 2)).astype(np.float32))
+    hl = jnp.asarray(rng.integers(0, 6, size=(h, w)).astype(np.int32))
+    args = ((w, h), color, gb_c, gb_p, jnp.asarray(vm), ch, mh, hl,
+            jnp.float32(0.2), jnp.float32(0.2))
+    a = back_projection_window(*args)
+    b = back_projection_banded(*args, band_rows=32, margin=16)
+    for x, y, name in zip(a, b, ["var", "color", "moment", "hist"]):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=name)
