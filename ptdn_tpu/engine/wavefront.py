@@ -415,9 +415,10 @@ def deferred_radiance(ds, contrib, tex_comp, depth: int, cap: int,
 
     if tex_comp is not None:
         sl, cv, cn = tex_comp
-        from ptdn_tpu.ops.pallas.path import RROWS as PATH_RROWS
-        packed = packed_texel_gather(ds, sl, cv, cn, interpret,
-                                     rrows=PATH_RROWS)
+        from ptdn_tpu.ops.pallas.path import block_rows
+        packed = packed_texel_gather(
+            ds, sl, cv, cn, interpret,
+            rrows=block_rows(int(ds.tri_chunk_min.shape[0])))
         tex_on = sl >= 0
         ratio = [jnp.where(tex_on,
                            ((packed >> (8 * c)) & 0xFF).astype(jnp.float32)

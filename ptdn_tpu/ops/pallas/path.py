@@ -64,6 +64,14 @@ from ptdn_tpu.ops.pallas.shade import _select_mat, lane_seed, shade_tiles
 # the deferred gather pays ~half the indices. Callers must pad ray
 # batches to RROWS*128 lanes (engine.wavefront lane_pad).
 RROWS = 32
+
+
+def block_rows(n_chunks: int) -> int:
+    """Block rows the path kernel will use for a scene with `n_chunks`
+    triangle chunks. Many-chunk scenes run the compacted chunk loops,
+    whose dynamic row reads are vreg-local (tpu.dynamic_gather axis=0
+    requires exactly 8 sublanes) — those must stay at 8-row blocks."""
+    return RROWS if n_chunks <= 4 else 8
 N_PIN = 16
 # input plane indices (primary state; throughput/radiance start at 1/0)
 (P_OX, P_OY, P_OZ, P_DX, P_DY, P_DZ, P_T, P_NX, P_NY, P_NZ,
@@ -76,8 +84,8 @@ def _kernel(inp, par_ref, fd_ref,
             mats, shadow_ray, reduce_var, geom_types, geom_mats,
             n_tris, n_chunks, cull, compat, light_geom, do_vis,
             light_emit, depth, alb_skip1, mat_texids, tex_whs, atlas_hw,
-            cap, emit_tex):
-    shape = (RROWS, 128)
+            cap, emit_tex, rrows):
+    shape = (rrows, 128)
     i = pl.program_id(0)
     frame = fd_ref[0, 0]
     lane0 = fd_ref[0, 1]
@@ -225,6 +233,7 @@ def path_trace_fused_pallas(planes_in, params_vec, frame_lane0, ds,
     n_chunks = int(ds.tri_chunk_min.shape[0]) if n_tris else 0
     atlas_hw = (int(ds.tex_atlas.shape[1]), int(ds.tex_atlas.shape[2]))
     emit_tex = emit_tex and depth > 1
+    rows = block_rows(n_chunks)
     kern = functools.partial(
         _kernel, mats=mats, shadow_ray=shadow_ray, reduce_var=reduce_var,
         geom_types=tuple(geom_types), geom_mats=tuple(geom_mats),
@@ -233,18 +242,18 @@ def path_trace_fused_pallas(planes_in, params_vec, frame_lane0, ds,
         light_emit=tuple(float(x) for x in light_emit), depth=depth,
         alb_skip1=alb_skip1, mat_texids=tuple(mat_texids),
         tex_whs=tuple(tex_whs), atlas_hw=atlas_hw, cap=cap,
-        emit_tex=emit_tex)
-    pin = pl.BlockSpec((N_PIN, RROWS, 128), lambda i: (0, i, 0),
+        emit_tex=emit_tex, rrows=rows)
+    pin = pl.BlockSpec((N_PIN, rows, 128), lambda i: (0, i, 0),
                        memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    contrib_spec = pl.BlockSpec((6 * depth, RROWS, 128),
+    contrib_spec = pl.BlockSpec((6 * depth, rows, 128),
                                 lambda i: (0, i, 0),
                                 memory_space=pltpu.VMEM)
     out_specs = [contrib_spec]
     out_shape = [jax.ShapeDtypeStruct((6 * depth, nb, 128), jnp.float32)]
     if emit_tex:
-        tex_spec = pl.BlockSpec((depth - 1, RROWS, 128),
+        tex_spec = pl.BlockSpec((depth - 1, rows, 128),
                                 lambda i: (0, i, 0),
                                 memory_space=pltpu.VMEM)
         out_specs += [tex_spec] * 3
@@ -252,7 +261,7 @@ def path_trace_fused_pallas(planes_in, params_vec, frame_lane0, ds,
                                            jnp.int32)] * 3
     outs = pl.pallas_call(
         kern,
-        grid=(nb // RROWS,),
+        grid=(nb // rows,),
         in_specs=[pin,
                   pl.BlockSpec((1, 8), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),

@@ -190,7 +190,11 @@ def light_visibility_tiles(o, d, vis_refs, shape, *, geom_types,
     def body(state):
         i, lit = state
         c = jax.lax.rem(c0 + i, jnp.int32(n_chunks))
-        if n_chunks <= 4:
+        # the compacted branch's dynamic row reads are vreg-local
+        # (tpu.dynamic_gather axis=0: exactly 8 sublanes), so blocks
+        # taller than 8 rows (the 32-row whole-path kernel) must take
+        # the dense branch
+        if n_chunks <= 4 or shape[0] != 8:
             relevant_t = jnp.where(lit > 0.5, ta, -FLT_MAX)
             lit = jax.lax.cond(chunk_cull(c, relevant_t),
                                lambda l: any_hit_chunk(c, l),
@@ -609,7 +613,10 @@ def _mesh_best(tri_r, cmin_r, cmax_r, o, d, ta, ga, shape, n_tris: int,
         # dead lanes can't win: an empty window rejects every chunk
         bt0 = jnp.where(alive > 0.5, bt0, -FLT_MAX)
     bi0 = jnp.full(shape, FLT_MAX, jnp.float32)
-    if n_chunks <= 4:
+    # blocks taller than 8 rows can't run the compacted chunk loop (its
+    # dynamic row reads are vreg-local tpu.dynamic_gather axis=0 ops,
+    # which require exactly 8 sublanes) — unroll densely instead
+    if n_chunks <= 4 or shape[0] != 8:
         # small scenes: unroll chunks statically and trim the group loop
         # to the real triangle count (cornell: 38 tris -> 5 groups not 16)
         best = (bt0, bi0)

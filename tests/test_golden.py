@@ -1,8 +1,12 @@
 """Golden-image regression: both backends must reproduce the committed
 reference renders (SURVEY.md §4's 'golden-image regression per scene
-config'). Goldens were generated on the CPU XLA oracle; the pallas
-backend is allowed float-level noise plus a tiny budget of tie-flip
-pixels at geometry boundaries."""
+config'). Goldens were generated on the CPU XLA oracle
+(tests/golden/generate.py); the pallas backend is allowed float-level
+noise plus a tiny budget of tie-flip pixels at geometry boundaries.
+
+Scene coverage: cornell (analytic geoms + textured mesh wall + NEE),
+diamond (refraction through a mesh), room (two textures — texid=1
+atlas offsets — and multiple meshes)."""
 
 import os
 
@@ -20,11 +24,21 @@ CONFIGS = {
     "cornell_svgf_d3": dict(denoise_enable=True, temporal_enable=True,
                             spatial_enable=True, trace_depth=3,
                             atrous_nlevel=3),
+    "diamond_raw_d4": dict(denoise_enable=False, trace_depth=4),
+    "room_svgf_d3": dict(denoise_enable=True, temporal_enable=True,
+                         spatial_enable=True, trace_depth=3,
+                         atrous_nlevel=3),
+}
+SCENES = {
+    "cornell_raw_d3": "cornell",
+    "cornell_svgf_d3": "cornell",
+    "diamond_raw_d4": "diamond",
+    "room_svgf_d3": "room",
 }
 
 
-def _render(backend, cfgkw):
-    s = Scene("/root/reference/scenes/cornell.txt")
+def _render(backend, cfgkw, scene="cornell"):
+    s = Scene(f"/root/reference/scenes/{scene}.txt")
     r = Renderer(s, RenderConfig(backend=backend, **cfgkw),
                  resolution=(64, 64))
     left = right = None
@@ -36,20 +50,35 @@ def _render(backend, cfgkw):
 @pytest.mark.parametrize("name", sorted(CONFIGS))
 def test_golden_xla(name):
     g = np.load(os.path.join(GOLDEN, f"{name}.npz"))
-    left, right = _render("xla", CONFIGS[name])
+    left, right = _render("xla", CONFIGS[name], SCENES[name])
     np.testing.assert_allclose(left, g["left"], atol=2e-5, rtol=1e-5)
     np.testing.assert_allclose(right, g["right"], atol=2e-5, rtol=1e-5)
+
+
+# Measured pallas-vs-xla-golden pixel fractions (|diff| > 1e-3), pinned
+# CPU, 2026-08-18: cornell_raw 0.24% / diamond_raw 0.59% (boundary
+# tie-flip pixels in the trace) — budget 1%. SVGF right panels:
+# cornell 3.6%, room 12.8% with the raw LEFT panel bit-identical on
+# room — i.e. the spread is NOT trace divergence but float
+# reassociation inside the fused reprojection/à-trous kernels vs the
+# XLA oracle, amplified by variance-weighted products at 64x64 x 3
+# frames. RMSE (bounded below at 0.012, measured <= 0.0094) carries
+# the real quality guarantee for those.
+FRAC_BUDGET = {
+    "cornell_raw_d3": 0.01,
+    "diamond_raw_d4": 0.01,
+    "cornell_svgf_d3": 0.06,
+    "room_svgf_d3": 0.16,
+}
 
 
 @pytest.mark.parametrize("name", sorted(CONFIGS))
 @pytest.mark.parametrize("fused", [False, True])
 def test_golden_pallas(name, fused):
     g = np.load(os.path.join(GOLDEN, f"{name}.npz"))
-    left, right = _render("pallas", dict(CONFIGS[name], fuse_bounce=fused))
-    # boundary tie-flip pixels; the à-trous filter spreads each into its
-    # dilated 5x5 neighborhood, so the SVGF config gets a larger budget
-    frac_budget = 0.08 if "svgf" in name else 0.01
+    left, right = _render("pallas", dict(CONFIGS[name], fuse_bounce=fused),
+                          SCENES[name])
     for img, ref in [(left, g["left"]), (right, g["right"])]:
         diff = np.abs(img - ref).max(axis=-1)
-        assert (diff > 1e-3).mean() < frac_budget
-        assert np.sqrt(((img - ref) ** 2).mean()) < 0.02
+        assert (diff > 1e-3).mean() < FRAC_BUDGET[name]
+        assert np.sqrt(((img - ref) ** 2).mean()) < 0.012
