@@ -363,7 +363,14 @@ def packed_texel_gather(ds, sl, cv, cn, interpret: bool, rrows: int = 8):
             return win.reshape(dm1, nb, 128)
         return f
 
-    ladder = [c for c in (2048, 4096, 8192, 16384) if c < tt * rrows]
+    # fine rungs: the gather cost is strongly superlinear past ~2k rows
+    # (0.85 ms at 2048, 3.3 at 3072, 5.6 at 4096 — benchmarks, v5e), so
+    # overshooting the frame's actual row count by a whole power of two
+    # wastes milliseconds; 256-row spacing near the common range keeps
+    # the overshoot small
+    ladder = [c for c in (1024, 1536, 2048, 2304, 2560, 2816, 3072,
+                          3584, 4096, 5120, 6144, 8192, 12288, 16384)
+              if c < tt * rrows]
     ladder.append(tt * rrows)
     out = build(ladder[-1])
     for c in reversed(ladder[:-1]):
