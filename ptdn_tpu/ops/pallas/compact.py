@@ -77,11 +77,16 @@ def compact_tile(idx, cap, shape):
     return cidx, slot, total
 
 
-def tile_route(valid_i, shape):
+def tile_route(valid_i, shape, out_rows=None):
     """Tile-WIDE compaction routing over an (S, 128) tile: valid lanes
     get consecutive global slots in row-major order. Returns
     (slot [S,128] i32 global slot or -1, K [scalar] total count,
      route) where `route` feeds tile_gather_compact/tile_uncompact.
+
+    `out_rows` (default S) caps the packed output to its first
+    out_rows*128 slots — phase 2 then runs on (out_rows, 128) vregs,
+    4x cheaper at 32-row tiles when the expected count is small. The
+    caller must handle K > out_rows*128 itself (e.g. identity packing).
 
     Two phases (vreg gathers compose only when the inner index is
     row-invariant, so the cross-row move uses a collision-free 8-way
@@ -90,6 +95,9 @@ def tile_route(valid_i, shape):
       phase 2: output position p reads phase-1 row r(p) (the row whose
       cumulative range contains p) at in-row position p - C_r."""
     srows = shape[0]
+    if out_rows is None:
+        out_rows = srows
+    oshape = (out_rows, 128)
     inc, _ = _row_prefix_and_count(valid_i, shape)
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -118,11 +126,14 @@ def tile_route(valid_i, shape):
 
     # phase-2: output position p = 128*s + j -> source row r(p), in-row
     # position p - C_r
-    p = row * 128 + lane
-    r_idx = jnp.zeros(shape, jnp.int32)
-    l_idx = jnp.zeros(shape, jnp.int32)
+    orow = jax.lax.broadcasted_iota(jnp.int32, oshape, 0)
+    olane = jax.lax.broadcasted_iota(jnp.int32, oshape, 1)
+    p = orow * 128 + olane
+    r_idx = jnp.zeros(oshape, jnp.int32)
+    l_idx = jnp.zeros(oshape, jnp.int32)
     for r in range(srows):
-        # [1,128] slices: Mosaic can't broadcast in sublanes AND lanes
+        # [1,128] slices broadcast implicitly against (out_rows, 128) —
+        # Mosaic can't express an explicit sublane+lane broadcast
         cr = jax.lax.slice(cs, (r, 0), (r + 1, 128))
         tr = jax.lax.slice(rowtot, (r, 0), (r + 1, 128))
         inr = (p >= cr) & (p < cr + tr)
@@ -133,14 +144,15 @@ def tile_route(valid_i, shape):
 
 def tile_gather_compact(plane, route, shape):
     """Gather `plane`'s valid lanes into row-major compact order using a
-    route from tile_route. Positions >= K hold garbage (callers mask by
-    row count)."""
+    route from tile_route. Output shape follows the route's out_rows
+    (positions >= K hold garbage — callers mask by row count)."""
     src1, r_idx, l_idx = route
+    oshape = r_idx.shape
     p1 = jnp.take_along_axis(plane, src1, axis=1)
-    out = jnp.zeros(shape, plane.dtype)
+    out = jnp.zeros(oshape, plane.dtype)
     for r in range(shape[0]):
         rowv = jnp.broadcast_to(
-            jax.lax.slice(p1, (r, 0), (r + 1, 128)), shape)
+            jax.lax.slice(p1, (r, 0), (r + 1, 128)), oshape)
         g = jnp.take_along_axis(rowv, l_idx, axis=1)
         out = jnp.where(r_idx == r, g, out)
     return out

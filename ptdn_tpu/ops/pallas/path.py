@@ -174,11 +174,38 @@ def _kernel(inp, par_ref, fd_ref,
             # (bounce-2 rays are coherent: per-row counts are bimodal
             # and blow any row cap; see deferred_radiance)
             sl_o, cv_o, cn_o = tex_outs
+            # phase-2 routing runs on capped (8, 128) output vregs: at
+            # the expected texel density (~5% of 4096 lanes) the packed
+            # values fit 2-3 rows; a denser tile (> 1024 texels) skips
+            # compaction entirely — identity packing is value-correct
+            # and just pays full rows in the deferred ladder
+            cap_rows = min(8, rrows)
             slot, k_tile, route = tile_route(
-                jnp.where(textured, 1, 0), shape)
-            sl_o[d - 1] = slot
-            cv_o[d - 1] = tile_gather_compact(tidx, route, shape)
-            cn_o[d - 1] = jnp.full(shape, k_tile, jnp.int32)
+                jnp.where(textured, 1, 0), shape, out_rows=cap_rows)
+
+            def compacted(_):
+                cv = tile_gather_compact(tidx, route, shape)
+                if cap_rows < rrows:
+                    cv = jnp.concatenate(
+                        [cv, jnp.zeros((rrows - cap_rows, 128),
+                                       jnp.int32)], axis=0)
+                return slot, cv, k_tile
+
+            def identity(_):
+                rowi = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+                lanei = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+                sl_id = jnp.where(textured, rowi * 128 + lanei, -1)
+                return (sl_id, jnp.maximum(tidx, 0),
+                        jnp.int32(rrows * 128))
+
+            if cap_rows < rrows:
+                slot_f, cv_f, k_f = jax.lax.cond(
+                    k_tile <= cap_rows * 128, compacted, identity, None)
+            else:
+                slot_f, cv_f, k_f = compacted(None)
+            sl_o[d - 1] = slot_f
+            cv_o[d - 1] = cv_f
+            cn_o[d - 1] = jnp.full(shape, k_f, jnp.int32)
 
         tiles = {
             "ox": res["spx"], "oy": res["spy"], "oz": res["spz"],
