@@ -34,4 +34,13 @@ import jax as _jax
 # math by ~1e-2 relative and corrupts one-hot integer table lookups.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: frame-step programs take minutes to
+# compile through the remote-device tunnel; warm starts skip that.
+try:
+    _jax.config.update("jax_compilation_cache_dir",
+                       "/tmp/ptdn_jax_cache")
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:        # older jax without these flags: cold compiles only
+    pass
+
 from ptdn_tpu.utils.config import RenderConfig  # noqa: F401

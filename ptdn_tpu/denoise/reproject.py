@@ -485,13 +485,18 @@ def back_projection_banded(res, current_color, curr_gb, prev_gb,
 
 def back_projection_auto(res, current_color, curr_gb, prev_gb,
                          prev_viewmat, color_history, moment_history,
-                         history_length, color_alpha_min, moment_alpha_min):
+                         history_length, color_alpha_min, moment_alpha_min,
+                         pallas_interpret=None):
     """Runtime dispatch: the gather-free stencil path when every
     reprojected base is within +-1 pixel of its own position (static or
     sub-pixel camera motion — the common interactive case); the banded
     slab gather when vertical motion stays under its margin (smooth
     camera animation); else the single-gather packed-window path
-    (arbitrary motion)."""
+    (arbitrary motion).
+
+    pallas_interpret: None = use the XLA stencil for the near path;
+    True/False = use the fused Pallas stencil kernel (interpreted or
+    compiled) — same tap math, parity-tested."""
     import jax
 
     w, h = res
@@ -507,12 +512,21 @@ def back_projection_auto(res, current_color, curr_gb, prev_gb,
     near = (jnp.max(dyv) <= 1) & (jnp.max(dxv) <= 1)
     banded_ok = jnp.max(dyv) <= BAND_MARGIN
 
+    if pallas_interpret is None:
+        stencil = lambda a: back_projection_stencil(res, *a)
+    else:
+        from ptdn_tpu.ops.pallas.reproject import \
+            back_projection_stencil_pallas
+
+        stencil = lambda a: back_projection_stencil_pallas(
+            res, *a, interpret=pallas_interpret)
+
     args = (current_color, curr_gb, prev_gb, prev_viewmat, color_history,
             moment_history, history_length, color_alpha_min,
             moment_alpha_min)
     return jax.lax.cond(
         near,
-        lambda a: back_projection_stencil(res, *a),
+        stencil,
         lambda a: jax.lax.cond(
             banded_ok,
             lambda aa: back_projection_banded(res, *aa,

@@ -57,13 +57,21 @@ def make_denoise_fn(cfg, resolution, interpret=None):
         if cfg.temporal_enable:
             from ptdn_tpu.denoise.reproject import back_projection_auto
 
-            bp = (back_projection_auto if cfg.backend == "pallas"
-                  else back_projection)
+            if cfg.backend == "pallas":
+                from ptdn_tpu.engine.wavefront import _pallas_interpret
+
+                interp = (_pallas_interpret() if interp_override is None
+                          else interp_override)
+                bp_kw = {"pallas_interpret": interp}
+                bp = back_projection_auto
+            else:
+                bp_kw = {}
+                bp = back_projection
             variance, color_acc, moment_acc, hist_up = bp(
                 (w, h), raw_color, gbuffer, prev_gb, state["prev_view"],
                 state["color_history"], state["moment_history"],
                 state["history_length"],
-                params["color_alpha"], params["moment_alpha"])
+                params["color_alpha"], params["moment_alpha"], **bp_kw)
             color_history = color_acc
         else:
             # EstimateVariance stub = 10.0 (denoise.cu:320-329)

@@ -136,19 +136,29 @@ def _kernel(dyn_hbm, stat_hbm, sig_ref, out_c, out_v, dbuf, sbuf, sems,
             hk = float(_H5[k]); k += 1
             dy, dx = j * step, ii * step
             qr, qg, qb = dyn(_CR, dy, dx), dyn(_CG, dy, dx), dyn(_CB, dy, dx)
-            lq = 0.2126 * qr + 0.7152 * qg + 0.0722 * qb
-            dxp = px - stat(_PX, dy, dx)
-            dyp = py - stat(_PY, dy, dx)
-            dzp = pz - stat(_PZ, dy, dx)
-            dist_x = jnp.sqrt(dxp * dxp + dyp * dyp + dzp * dzp)
-            dxn = nx - stat(_NX, dy, dx)
-            dyn_ = ny - stat(_NY, dy, dx)
-            dzn = nz - stat(_NZ, dy, dx)
-            dist_n = jnp.sqrt(dxn * dxn + dyn_ * dyn_ + dzn * dzn)
-            wl = jnp.exp(-jnp.abs(lp - lq) * denom_l)
-            wn = jnp.minimum(1.0, jnp.exp(-dist_n * inv_sn))
-            wx = jnp.minimum(1.0, jnp.exp(-dist_x * inv_sx))
-            wgt = hk * wl * wn * wx * inb(dy, dx)
+            if dy == 0 and dx == 0:
+                # center tap: all three edge-stopping weights are
+                # exactly exp(0) = 1
+                wgt = hk * inb(0, 0)
+            else:
+                lq = 0.2126 * qr + 0.7152 * qg + 0.0722 * qb
+                dxp = px - stat(_PX, dy, dx)
+                dyp = py - stat(_PY, dy, dx)
+                dzp = pz - stat(_PZ, dy, dx)
+                dist_x = jnp.sqrt(dxp * dxp + dyp * dyp + dzp * dzp)
+                dxn = nx - stat(_NX, dy, dx)
+                dyn_ = ny - stat(_NY, dy, dx)
+                dzn = nz - stat(_NZ, dy, dx)
+                dist_n = jnp.sqrt(dxn * dxn + dyn_ * dyn_ + dzn * dzn)
+                # wl*wn*wx with one transcendental: the reference's
+                # min(1, exp(-x)) clamps (denoise.cu:139-140) are no-ops
+                # for x >= 0 (always true: distances and |dl| are
+                # non-negative, sigmas positive), so the three exps fuse
+                # into exp of the negated sum — ~1 ulp reassociation,
+                # covered by the 1e-5 oracle-parity tolerance
+                wgt = hk * jnp.exp(-(jnp.abs(lp - lq) * denom_l
+                                     + dist_n * inv_sn
+                                     + dist_x * inv_sx)) * inb(dy, dx)
             wsum2 += wgt
             w2sum += wgt * wgt
             csum_r += qr * wgt

@@ -208,14 +208,10 @@ def test_backprojection_packed_parity():
                                        atol=1e-5, err_msg=name)
 
 
-def test_backprojection_stencil_parity():
-    """The gather-free stencil path must match back_projection_window
-    BIT-exactly when every reprojected base is within +-1 px (its gate),
-    and back_projection_auto must dispatch to it."""
-    from ptdn_tpu.denoise.reproject import (back_projection_auto,
-                                            back_projection_stencil,
-                                            back_projection_window)
-
+@pytest.fixture
+def stencil_args():
+    """Inputs whose reprojection lands sub-pixel-jittered around each
+    pixel center — the stencil fast path's gated domain."""
     rng = np.random.default_rng(7)
     h = w = 24
     ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
@@ -247,8 +243,19 @@ def test_backprojection_stencil_parity():
     ch = jnp.asarray(rng.uniform(size=(h, w, 3)).astype(np.float32))
     mh = jnp.asarray(rng.uniform(size=(h, w, 2)).astype(np.float32))
     hl = jnp.asarray(rng.integers(0, 6, size=(h, w)).astype(np.int32))
-    args = ((w, h), color, gb_c, gb_p, jnp.asarray(vm), ch, mh, hl,
+    return ((w, h), color, gb_c, gb_p, jnp.asarray(vm), ch, mh, hl,
             jnp.float32(0.2), jnp.float32(0.2))
+
+
+def test_backprojection_stencil_parity(stencil_args):
+    """The gather-free stencil path must match back_projection_window
+    BIT-exactly when every reprojected base is within +-1 px (its gate),
+    and back_projection_auto must dispatch to it."""
+    from ptdn_tpu.denoise.reproject import (back_projection_auto,
+                                            back_projection_stencil,
+                                            back_projection_window)
+
+    args = stencil_args
     a = back_projection_window(*args)
     b = back_projection_stencil(*args)
     for x, y, name in zip(a, b, ["var", "color", "moment", "hist"]):
@@ -257,6 +264,26 @@ def test_backprojection_stencil_parity():
     for x, y, name in zip(a, c, ["var", "color", "moment", "hist"]):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    atol=1e-5, err_msg=name)
+
+
+def test_backprojection_stencil_pallas_parity(stencil_args):
+    """The fused Pallas reprojection kernel must match the XLA stencil
+    (and therefore the reference math) on its gated domain."""
+    from ptdn_tpu.denoise.reproject import (back_projection_auto,
+                                            back_projection_stencil)
+    from ptdn_tpu.ops.pallas.reproject import back_projection_stencil_pallas
+
+    args = stencil_args
+    a = back_projection_stencil(*args)
+    b = back_projection_stencil_pallas(*args, interpret=True)
+    for x, y, name in zip(a, b, ["var", "color", "moment", "hist"]):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=2e-6, err_msg=name)
+    # the auto dispatcher must route the near path to the kernel
+    c = back_projection_auto(*args, pallas_interpret=True)
+    for x, y, name in zip(a, c, ["var", "color", "moment", "hist"]):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=2e-6, err_msg=name)
 
 
 def test_backprojection_banded_parity():
