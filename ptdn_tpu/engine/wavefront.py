@@ -1025,6 +1025,7 @@ def make_trace_fn(scene, cfg, resolution, full_height=None, interpret=None):
             contrib, tex_comp = path_trace_fused_pallas(
                 planes16, pv, fl, ds, mats=_static_mats(scene),
                 shadow_ray=cfg.shadow_ray, reduce_var=cfg.reduce_var,
+                static_mats=scene.static_matrices,
                 geom_types=scene.geom_types,
                 geom_mats=scene.geom_material_ids, n_tris=scene.n_tris,
                 light_geom=light_geom, do_vis=do_vis,

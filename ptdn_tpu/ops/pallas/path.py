@@ -84,7 +84,7 @@ def _kernel(inp, par_ref, fd_ref,
             mats, shadow_ray, reduce_var, geom_types, geom_mats,
             n_tris, n_chunks, cull, compat, light_geom, do_vis,
             light_emit, depth, alb_skip1, mat_texids, tex_whs, atlas_hw,
-            cap, emit_tex, rrows):
+            cap, emit_tex, rrows, static_mats=None):
     shape = (rrows, 128)
     i = pl.program_id(0)
     frame = fd_ref[0, 0]
@@ -127,7 +127,7 @@ def _kernel(inp, par_ref, fd_ref,
                 (res["sdx"], res["sdy"], res["sdz"]),
                 vis_refs, shape, geom_types=geom_types, n_tris=n_tris,
                 n_chunks=n_chunks, light_geom=light_geom,
-                nee_mask=res["nee"])
+                nee_mask=res["nee"], static_mats=static_mats)
             # select, not multiply: cr can be inf/NaN on non-NEE lanes
             litb = lit > 0.5
             contrib_o[base + 3] = jnp.where(litb, res["cr"] * light_emit[0],
@@ -150,7 +150,7 @@ def _kernel(inp, par_ref, fd_ref,
             (res["dx"], res["dy"], res["dz"]),
             hit_refs, shape, geom_types=geom_types, geom_mats=geom_mats,
             n_tris=n_tris, n_chunks=n_chunks, cull=cull, compat=compat,
-            alive=res["act"])
+            alive=res["act"], static_mats=static_mats)
         act = res["act"] * jnp.where(geom >= 0.0, 1.0, 0.0)
 
         # next albedo: static material color; textured lanes use 1.0 and
@@ -247,7 +247,7 @@ def path_trace_fused_pallas(planes_in, params_vec, frame_lane0, ds,
                             geom_mats, n_tris, light_geom, do_vis,
                             light_emit, compat, depth, alb_skip1,
                             mat_texids, tex_whs, cap, emit_tex,
-                            cull=True, interpret=False):
+                            cull=True, interpret=False, static_mats=None):
     """planes_in: (N_PIN, NB, 128) f32 primary state. params_vec: (8,)
     f32 = (light_pos(3), lrad, sint, pad(3)). frame_lane0: (2,) u32.
     Returns (contrib (6*depth, NB, 128) f32,
@@ -269,7 +269,7 @@ def path_trace_fused_pallas(planes_in, params_vec, frame_lane0, ds,
         light_emit=tuple(float(x) for x in light_emit), depth=depth,
         alb_skip1=alb_skip1, mat_texids=tuple(mat_texids),
         tex_whs=tuple(tex_whs), atlas_hw=atlas_hw, cap=cap,
-        emit_tex=emit_tex, rrows=rows)
+        emit_tex=emit_tex, rrows=rows, static_mats=static_mats)
     pin = pl.BlockSpec((N_PIN, rows, 128), lambda i: (0, i, 0),
                        memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)

@@ -40,7 +40,8 @@ TGROUP = 8
 
 def light_visibility_tiles(o, d, vis_refs, shape, *, geom_types,
                            n_tris: int, n_chunks: int, light_geom: int,
-                           nee_mask=None, first_chunk=None):
+                           nee_mask=None, first_chunk=None,
+                           static_mats=None):
     """Visibility-only closest hit on tiles: did the closest hit land on
     `light_geom`? Any-hit semantics against the light distance: no
     normals, no triangle index bookkeeping, and the chunk loop exits
@@ -56,7 +57,7 @@ def light_visibility_tiles(o, d, vis_refs, shape, *, geom_types,
 
     ta, ga, _, _, _ = _analytic_part(
         geom_types, tf_r, inv_r, invt_r, (gbbmin_r, gbbmax_r),
-        o, d, shape, want_normals=False)
+        o, d, shape, want_normals=False, static_mats=static_mats)
     # keep masks as f32 (bool vreg concat/any miscompile in Mosaic)
     lit = jnp.where(ga == float(light_geom), 1.0, 0.0)
     if nee_mask is not None:
@@ -257,7 +258,8 @@ def light_visibility_pallas(ds, geom_types, o, d, n_tris: int,
 
 
 def _analytic_part(geom_types, tf, inv, invt, gbb, o, d, shape,
-                   geom_cull: bool = False, want_normals: bool = True):
+                   geom_cull: bool = False, want_normals: bool = True,
+                   static_mats=None):
     """Unrolled analytic-geom loop; o/d are component tuples of [8,128].
     Each geom's test is skipped for the whole block unless some ray hits
     its (padded) world AABB closer than the running best (the 1e-3 margin
@@ -300,32 +302,62 @@ def _analytic_part(geom_types, tf, inv, invt, gbb, o, d, shape,
                 any_hit,
                 lambda b, gi=gi, gtype=gtype: _one_geom(
                     geom_types, tf, inv, invt, gi, gtype, o, d, shape, b,
-                    want_normals),
+                    want_normals, static_mats),
                 lambda b: b, best)
         else:
             best = _one_geom(geom_types, tf, inv, invt, gi, gtype, o, d,
-                             shape, best, want_normals)
+                             shape, best, want_normals, static_mats)
 
     best_t, best_g, bnx, bny, bnz = best
     return best_t, best_g, bnx, bny, bnz
 
 
+def _row_dot(row, x, y, z, with_bias: bool, static: bool):
+    """row[0]*x + row[1]*y + row[2]*z (+ row[3]), left-to-right.
+
+    static=True: row entries are Python floats (scene transforms baked at
+    trace-build time) — terms with an exactly-zero coefficient are
+    dropped and *1.0 multiplies elided.  Adding an exact zero term is a
+    no-op in f32 (up to the sign of a zero result), so this matches the
+    SMEM-scalar expression bit-for-bit while axis-aligned geoms (most
+    cornell walls) skip ~2/3 of the transform FLOPs and ALL the SMEM
+    scalar loads."""
+    if static:
+        acc = None
+        for c, v in ((row[0], x), (row[1], y), (row[2], z)):
+            if c == 0.0:
+                continue
+            t = v if c == 1.0 else (-v if c == -1.0 else c * v)
+            acc = t if acc is None else acc + t
+        if with_bias and row[3] != 0.0:
+            acc = row[3] if acc is None else acc + row[3]
+        return 0.0 if acc is None else acc
+    e = row[0] * x + row[1] * y + row[2] * z
+    return e + row[3] if with_bias else e
+
+
 def _one_geom(geom_types, tf, inv, invt, gi, gtype, o, d, shape, best,
-              want_normals: bool = True):
-    """One analytic geom test (intersections.h:50-146) + strict-< update."""
+              want_normals: bool = True, static_mats=None):
+    """One analytic geom test (intersections.h:50-146) + strict-< update.
+    static_mats: optional (tf, inv, invt) nested float tuples — the same
+    f32 values as the SMEM refs, baked in for constant folding."""
     ox, oy, oz = o
     dx, dy, dz = d
     best_t, best_g, bnx, bny, bnz = best
-    if True:
+    st = static_mats is not None
+    if st:
+        m = static_mats[0][gi]
+        iv = static_mats[1][gi]
+    else:
         iv = [[inv[gi, r, c] for c in range(4)] for r in range(4)]
         m = [[tf[gi, r, c] for c in range(4)] for r in range(4)]
-
-        qox = iv[0][0] * ox + iv[0][1] * oy + iv[0][2] * oz + iv[0][3]
-        qoy = iv[1][0] * ox + iv[1][1] * oy + iv[1][2] * oz + iv[1][3]
-        qoz = iv[2][0] * ox + iv[2][1] * oy + iv[2][2] * oz + iv[2][3]
-        qdx = iv[0][0] * dx + iv[0][1] * dy + iv[0][2] * dz
-        qdy = iv[1][0] * dx + iv[1][1] * dy + iv[1][2] * dz
-        qdz = iv[2][0] * dx + iv[2][1] * dy + iv[2][2] * dz
+    if True:
+        qox = _row_dot(iv[0], ox, oy, oz, True, st)
+        qoy = _row_dot(iv[1], ox, oy, oz, True, st)
+        qoz = _row_dot(iv[2], ox, oy, oz, True, st)
+        qdx = _row_dot(iv[0], dx, dy, dz, False, st)
+        qdy = _row_dot(iv[1], dx, dy, dz, False, st)
+        qdz = _row_dot(iv[2], dx, dy, dz, False, st)
         qn = 1.0 / jnp.sqrt(qdx * qdx + qdy * qdy + qdz * qdz)
         qdx, qdy, qdz = qdx * qn, qdy * qn, qdz * qn
 
@@ -380,9 +412,9 @@ def _one_geom(geom_types, tf, inv, invt, gi, gtype, o, d, shape, best,
         pox = qox + (t_obj - BACKOFF) * qdx
         poy = qoy + (t_obj - BACKOFF) * qdy
         poz = qoz + (t_obj - BACKOFF) * qdz
-        wx = m[0][0] * pox + m[0][1] * poy + m[0][2] * poz + m[0][3]
-        wy = m[1][0] * pox + m[1][1] * poy + m[1][2] * poz + m[1][3]
-        wz = m[2][0] * pox + m[2][1] * poy + m[2][2] * poz + m[2][3]
+        wx = _row_dot(m[0], pox, poy, poz, True, st)
+        wy = _row_dot(m[1], pox, poy, poz, True, st)
+        wz = _row_dot(m[2], pox, poy, poz, True, st)
         t_world = jnp.sqrt((ox - wx) ** 2 + (oy - wy) ** 2 + (oz - wz) ** 2)
 
         better = hit & (t_world > 0) & (t_world < best_t)
@@ -391,14 +423,18 @@ def _one_geom(geom_types, tf, inv, invt, gi, gtype, o, d, shape, best,
         if want_normals:
             if gtype == CUBE:
                 # normal via transform (reference quirk, intersections.h:88)
-                nwx = m[0][0] * n_ox + m[0][1] * n_oy + m[0][2] * n_oz
-                nwy = m[1][0] * n_ox + m[1][1] * n_oy + m[1][2] * n_oz
-                nwz = m[2][0] * n_ox + m[2][1] * n_oy + m[2][2] * n_oz
+                nwx = _row_dot(m[0], n_ox, n_oy, n_oz, False, st)
+                nwy = _row_dot(m[1], n_ox, n_oy, n_oz, False, st)
+                nwz = _row_dot(m[2], n_ox, n_oy, n_oz, False, st)
             else:
-                it = [[invt[gi, r, c] for c in range(4)] for r in range(4)]
-                nwx = it[0][0] * pox + it[0][1] * poy + it[0][2] * poz
-                nwy = it[1][0] * pox + it[1][1] * poy + it[1][2] * poz
-                nwz = it[2][0] * pox + it[2][1] * poy + it[2][2] * poz
+                if st:
+                    it = static_mats[2][gi]
+                else:
+                    it = [[invt[gi, r, c] for c in range(4)]
+                          for r in range(4)]
+                nwx = _row_dot(it[0], pox, poy, poz, False, st)
+                nwy = _row_dot(it[1], pox, poy, poz, False, st)
+                nwz = _row_dot(it[2], pox, poy, poz, False, st)
                 flip = jnp.where(inside, -1.0, 1.0)
                 nwx, nwy, nwz = nwx * flip, nwy * flip, nwz * flip
             nn = 1.0 / jnp.sqrt(nwx * nwx + nwy * nwy + nwz * nwz)
@@ -775,7 +811,7 @@ def _mesh_attr_refine(tri_attr_t_ref, bt, bi, o, d, shape, n_tris: int,
 
 def closest_hit_tiles(o, d, scene_refs, shape, *, geom_types, geom_mats,
                       n_tris: int, n_chunks: int, cull: bool, compat: bool,
-                      alive=None, first_chunk=None):
+                      alive=None, first_chunk=None, static_mats=None):
     """Fully-resolved closest hit on tiles: analytic + mesh + attributes
     + merge (the engine's intersect() contract). `scene_refs` is the
     (tf, inv, invt, gbbmin, gbbmax, tri, cmin, cmax, attr) ref tuple.
@@ -784,7 +820,7 @@ def closest_hit_tiles(o, d, scene_refs, shape, *, geom_types, geom_mats,
      attr_r) = scene_refs
     ta, ga, anx, any_, anz = _analytic_part(
         geom_types, tf_r, inv_r, invt_r, (gbbmin_r, gbbmax_r),
-        o, d, shape)
+        o, d, shape, static_mats=static_mats)
     a_valid = ga >= 0.0
 
     if n_tris == 0:

@@ -398,3 +398,17 @@ class Scene:
     def geom_tri_ranges(self) -> Tuple[Tuple[int, int], ...]:
         """Triangle ranges in ORIGINAL id space (Geom.T_startidx/T_endidx)."""
         return tuple((g.tri_start, g.tri_end) for g in self.geoms)
+
+    @property
+    def static_matrices(self):
+        """Per-geom (transform, inverse, inv_transpose) as nested Python
+        float tuples — the EXACT f32 values uploaded to the device
+        (DeviceScene.geom_*), baked statically into Pallas kernels so
+        exact-zero/one matrix entries constant-fold (axis-aligned geoms
+        skip most of their transform FLOPs and SMEM scalar loads)."""
+        def t(m):
+            m32 = np.asarray(m, np.float32)
+            return tuple(tuple(float(v) for v in row) for row in m32)
+        return (tuple(t(g.transform) for g in self.geoms),
+                tuple(t(g.inverse) for g in self.geoms),
+                tuple(t(g.inv_transpose) for g in self.geoms))
