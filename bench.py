@@ -78,19 +78,21 @@ def main():
 
     if args.all:
         extras = {}
-        for name, res, fuse in [
-            ("diamond", None, True),
-            ("bunny", None, True),
-            ("room", None, True),   # fused+sorted+tilepack: 160 vs 259 ms
+        # engine flags (fuse_bounce/fuse_path/sort_rays) auto-select from
+        # scene statics inside make_trace_fn — no per-scene tuning here
+        for name, res in [
+            ("diamond", None),
+            ("bunny", None),
+            ("room", None),
         ]:
-            c = RenderConfig(trace_depth=8, fuse_bounce=fuse, **svgf)
+            c = RenderConfig(trace_depth=8, **svgf)
             m, _ = run_config(f"{args.scenes_dir}/{name}.txt", res,
                               args.frames, args.warmup, c)
             extras[name] = round(m, 3)
         # room.txt, animated camera, 1080p: full temporal reprojection loop
         c = RenderConfig(trace_depth=8, automate_camera=True,
                          camera_speed_x=0.02, camera_speed_theta=0.01,
-                         camera_speed_phi=0.015, fuse_bounce=True, **svgf)
+                         camera_speed_phi=0.015, **svgf)
         m, _ = run_config(f"{args.scenes_dir}/room.txt", (1920, 1080),
                           args.frames, args.warmup, c, automate=True)
         extras["room_1080p_animated"] = round(m, 3)

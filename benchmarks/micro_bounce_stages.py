@@ -20,7 +20,7 @@ scene = Scene(f"/root/reference/scenes/{name}.txt")
 ds = scene.device()
 n = 800 * 800
 nb = n // 128
-n_chunks = int(ds.tri_chunk_min.shape[0])
+n_chunks = int(ds.tri_chunk_min.shape[0]) // 5
 print(f"{name}: n={n} nb={nb} chunks={n_chunks}", flush=True)
 
 rng = np.random.default_rng(0)
@@ -110,7 +110,6 @@ for G in (8, 32, 128):
     f_permg = jax.jit(f_permg)
     ms = bench_slope(lambda a, o: f_permg(a, o), allp0, orderg0, n1=4,
                      n2=16, chain=lambda out, args: (out[0], args[1]))
-    ms_sort = 0.0
     print(f"grouped permute G={G:3d}:           {ms:7.2f} ms", flush=True)
 
     key0g = jnp.asarray(rng.integers(0, n_chunks * n_chunks, size=ng,

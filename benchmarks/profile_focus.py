@@ -44,7 +44,7 @@ def measure(tag, **kw):
 
 
 measure("baseline (full)")
-measure("shadow_ray=False")
+measure("shadow_ray=False", shadow_ray=False)
 measure("denoise off", denoise_enable=False)
 measure("depth=4", trace_depth=4)
 measure("depth=2", trace_depth=2)

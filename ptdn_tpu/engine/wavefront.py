@@ -425,7 +425,7 @@ def deferred_radiance(ds, contrib, tex_comp, depth: int, cap: int,
         from ptdn_tpu.ops.pallas.path import block_rows
         packed = packed_texel_gather(
             ds, sl, cv, cn, interpret,
-            rrows=block_rows(int(ds.tri_chunk_min.shape[0])))
+            rrows=block_rows(int(ds.tri_chunk_min.shape[0]) // 5))
         tex_on = sl >= 0
         ratio = [jnp.where(tex_on,
                            ((packed >> (8 * c)) & 0xFF).astype(jnp.float32)
@@ -478,6 +478,187 @@ def make_light_visibility(scene, cfg, light_geom: int = 0, interpret=None):
                                        interpret=interp)
 
     return visible
+
+
+def first_chunk_plane(ds, ox_, oy_, oz_, dx_, dy_, dz_, n_chunks_static):
+    """Nearest triangle-chunk AABB crossed by each lane's ray
+    (unbounded window), n_chunks if none — the measured-best
+    coherence key: geometric proxies (morton cell, direction
+    octant) leave tiles touching most chunks, while grouping by
+    the chunk a ray actually enters makes tiles chunk-pure
+    (52 -> 21 ms on the synthetic bunny probe)."""
+    inx = 1.0 / dx_
+    iny = 1.0 / dy_
+    inz = 1.0 / dz_
+    best_t = jnp.full(ox_.shape, jnp.inf, jnp.float32)
+    best_c = jnp.full(ox_.shape, n_chunks_static, jnp.int32)
+    cmin = ds.tri_chunk_min
+    cmax = ds.tri_chunk_max
+    for c in range(n_chunks_static):
+        t0x = (cmin[c, 0] - ox_) * inx
+        t1x = (cmax[c, 0] - ox_) * inx
+        t0y = (cmin[c, 1] - oy_) * iny
+        t1y = (cmax[c, 1] - oy_) * iny
+        t0z = (cmin[c, 2] - oz_) * inz
+        t1z = (cmax[c, 2] - oz_) * inz
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                       jnp.minimum(t0y, t1y)),
+                           jnp.minimum(t0z, t1z))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                       jnp.maximum(t0y, t1y)),
+                           jnp.maximum(t0z, t1z))
+        better = (tmax >= 0.0) & (tmin <= tmax) & (tmin < best_t)
+        best_t = jnp.where(better, tmin, best_t)
+        best_c = jnp.where(better, c, best_c)
+    return best_c
+
+
+def chunk_range_planes(ds, ox_, oy_, oz_, dx_, dy_, dz_, n_chunks_static,
+                       t_limit=None):
+    """Per-lane [min, max] chunk ID among ALL chunk AABBs the ray crosses
+    (unbounded t-window, so a superset of any later window) — (n_chunks,
+    -1) for rays crossing none. The trace kernels scan only the tile's
+    union range [min(lo), max(hi)] instead of every chunk: a chunk
+    outside a lane's crossed set can never produce a hit for it, so a
+    chunk outside the union produces none for the whole tile (exactness;
+    the in-kernel per-lane window culls stay as-is). Chunks are
+    BVH-leaf-DFS ordered, so crossed IDs of a coherent ray cluster into
+    a short range; with lanes sorted by this pair the per-tile union
+    stays a handful of chunks (measured: the 39-chunk bunny scan drops
+    to ~2-4 trips)."""
+    inx = 1.0 / dx_
+    iny = 1.0 / dy_
+    inz = 1.0 / dz_
+    lo = jnp.full(ox_.shape, n_chunks_static, jnp.int32)
+    hi = jnp.full(ox_.shape, -1, jnp.int32)
+    cmin = ds.tri_chunk_min
+    cmax = ds.tri_chunk_max
+    for c in range(n_chunks_static):
+        t0x = (cmin[c, 0] - ox_) * inx
+        t1x = (cmax[c, 0] - ox_) * inx
+        t0y = (cmin[c, 1] - oy_) * iny
+        t1y = (cmax[c, 1] - oy_) * iny
+        t0z = (cmin[c, 2] - oz_) * inz
+        t1z = (cmax[c, 2] - oz_) * inz
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                       jnp.minimum(t0y, t1y)),
+                           jnp.minimum(t0z, t1z))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                       jnp.maximum(t0y, t1y)),
+                           jnp.maximum(t0z, t1z))
+        crossed = (tmax >= 0.0) & (tmin <= tmax)
+        if t_limit is not None:
+            # a chunk entered beyond t_limit can't matter (shadow rays:
+            # occlusion needs t < distance-to-light-sample <= t_limit)
+            crossed = crossed & (tmin <= t_limit)
+        lo = jnp.where(crossed & (lo == n_chunks_static), c, lo)
+        hi = jnp.where(crossed, c, hi)
+    return lo, hi
+
+
+def permute_by_key(ds, sh, pix, n, nb, n_chunks_static, do_vis,
+                   light_pos=None, light_radius=None):
+    """Reorder lanes (all planes together, ONE packed row gather
+    — scatters cost ~10x on v5e) by the crossed-chunk-ID ranges of
+    the next ray and the shadow ray, so each 1024-lane tile's union
+    range [min(lo), max(hi)] — the trace kernel's chunk-loop trip
+    count — stays a handful of chunks. Dead lanes key past every
+    live bucket so whole tiles go idle. Returns the permuted
+    (shade planes + nlo + nhi + slo + shi, pix) — the range planes
+    ride along so the trace kernel can bound its chunk loops."""
+    import jax
+
+    from ptdn_tpu.ops.pallas import shade as SH
+
+    ncp1 = n_chunks_static + 1
+    nlo, nhi = chunk_range_planes(ds, sh[SH.O_SPX], sh[SH.O_SPY],
+                                  sh[SH.O_SPZ], sh[SH.O_DX], sh[SH.O_DY],
+                                  sh[SH.O_DZ], n_chunks_static)
+    if light_pos is not None:
+        # occlusion needs a mesh hit CLOSER than the shadow ray's hit on
+        # the light geom itself; that hit is within the light's world
+        # AABB, so chunks entered beyond |sp - center| + AABB half-
+        # diagonal can never occlude (light_radius only spreads samples
+        # WITHIN the light, the AABB bound covers it)
+        s_limit = jnp.sqrt((light_pos[0] - sh[SH.O_SPX]) ** 2
+                           + (light_pos[1] - sh[SH.O_SPY]) ** 2
+                           + (light_pos[2] - sh[SH.O_SPZ]) ** 2)
+        s_limit = s_limit + light_radius
+    else:
+        s_limit = None
+    slo, shi = chunk_range_planes(ds, sh[SH.O_SPX], sh[SH.O_SPY],
+                                  sh[SH.O_SPZ], sh[SH.O_SDX],
+                                  sh[SH.O_SDY], sh[SH.O_SDZ],
+                                  n_chunks_static, t_limit=s_limit)
+    # non-NEE lanes carry garbage shadow dirs; give them the empty
+    # range so they neither split the buckets nor widen tile unions
+    is_nee = sh[SH.O_NEE] > 0.5
+    slo = jnp.where(is_nee, slo, n_chunks_static)
+    shi = jnp.where(is_nee, shi, -1)
+    # dead lanes likewise (their spawn/dir planes are garbage)
+    alive = sh[SH.O_ACT] > 0.5
+    nlo = jnp.where(alive, nlo, n_chunks_static)
+    nhi = jnp.where(alive, nhi, -1)
+    slo = jnp.where(alive, slo, n_chunks_static)
+    shi = jnp.where(alive, shi, -1)
+    key = nlo * ncp1 + jnp.maximum(nhi, 0)
+    if do_vis:
+        key = key * ncp1 + slo
+    key = jnp.where(alive, key, jnp.int32(1 << 30))
+    order = jax.lax.sort_key_val(
+        key.reshape(n), jnp.arange(n, dtype=jnp.int32))[1]
+    allp = jnp.concatenate(
+        [sh, nlo[None].astype(jnp.float32),
+         nhi[None].astype(jnp.float32),
+         slo[None].astype(jnp.float32),
+         shi[None].astype(jnp.float32), pix[None]], axis=0)
+    k_pl = allp.shape[0]
+
+    # Active-prefix ladder: the row gather is COUNT-bound (~125 M
+    # rows/s on v5e regardless of row width), so gathering only the
+    # non-identity prefix scales the permute with path survival: dead
+    # lanes share the sentinel key, the sort is STABLE, and each
+    # bounce's sort leaves its dead tail in place — so once a lane
+    # reaches the tail, every later sort maps it to itself and its
+    # planes can be copied with a static slice instead of gathered.
+    # The exact (assumption-free) prefix bound is the last position
+    # the permutation actually moves.
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    moved_hi = jnp.max(jnp.where(order != iota_n, iota_n, -1)) + 1
+
+    def permute_prefix(rows_pref):
+        """Gather positions [0, rows_pref*128); copy the tail."""
+        npref = rows_pref * 128
+
+        def go(_):
+            opref = jax.lax.slice(order, (0,), (npref,))
+            if k_pl * npref * 4 > 110 * 1024 * 1024:
+                # above the ~110 MB gather cliff: 8-wide column groups
+                # (benchmarks/micro_sort.py)
+                outs = []
+                for lo in range(0, k_pl, 8):
+                    hi = min(lo + 8, k_pl)
+                    rows = allp[lo:hi].reshape(hi - lo, n).T[opref]
+                    outs.append(rows.T.reshape(hi - lo, npref // 128, 128))
+                pref = jnp.concatenate(outs, axis=0)
+            else:
+                rows = allp.reshape(k_pl, n).T[opref]
+                pref = rows.T.reshape(k_pl, npref // 128, 128)
+            if npref == n:
+                return pref
+            tail = jax.lax.slice(allp, (0, npref // 128, 0),
+                                 (k_pl, nb, 128))
+            return jnp.concatenate([pref, tail], axis=1)
+        return go
+
+    rungs = [r for r in (nb // 8, nb // 4, nb * 3 // 8, nb // 2,
+                         nb * 3 // 4) if 0 < r < nb]
+    out = permute_prefix(nb)
+    for r in reversed(rungs):
+        out = (lambda nxt, r: lambda _: jax.lax.cond(
+            moved_hi <= r * 128, permute_prefix(r), nxt, None))(out, r)
+    allp = out(None)
+    return allp[:-1], allp[-1]
 
 
 def _static_mats(scene):
@@ -672,84 +853,6 @@ def make_trace_fn(scene, cfg, resolution, full_height=None, interpret=None):
                                       axis=0)
             return next_in, None
 
-        def first_chunk_plane(ds, ox_, oy_, oz_, dx_, dy_, dz_):
-            """Nearest triangle-chunk AABB crossed by each lane's ray
-            (unbounded window), n_chunks if none — the measured-best
-            coherence key: geometric proxies (morton cell, direction
-            octant) leave tiles touching most chunks, while grouping by
-            the chunk a ray actually enters makes tiles chunk-pure
-            (52 -> 21 ms on the synthetic bunny probe)."""
-            inx = 1.0 / dx_
-            iny = 1.0 / dy_
-            inz = 1.0 / dz_
-            best_t = jnp.full(ox_.shape, jnp.inf, jnp.float32)
-            best_c = jnp.full(ox_.shape, n_chunks_static, jnp.int32)
-            cmin = ds.tri_chunk_min
-            cmax = ds.tri_chunk_max
-            for c in range(n_chunks_static):
-                t0x = (cmin[c, 0] - ox_) * inx
-                t1x = (cmax[c, 0] - ox_) * inx
-                t0y = (cmin[c, 1] - oy_) * iny
-                t1y = (cmax[c, 1] - oy_) * iny
-                t0z = (cmin[c, 2] - oz_) * inz
-                t1z = (cmax[c, 2] - oz_) * inz
-                tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                               jnp.minimum(t0y, t1y)),
-                                   jnp.minimum(t0z, t1z))
-                tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                               jnp.maximum(t0y, t1y)),
-                                   jnp.maximum(t0z, t1z))
-                better = (tmax >= 0.0) & (tmin <= tmax) & (tmin < best_t)
-                best_t = jnp.where(better, tmin, best_t)
-                best_c = jnp.where(better, c, best_c)
-            return best_c
-
-        def permute_by_key(ds, sh, pix):
-            """Reorder lanes (all planes together, ONE packed row gather
-            — scatters cost ~10x on v5e) by the pair (next-ray first
-            chunk, shadow-ray first chunk). Dead lanes key past every
-            live bucket so whole tiles go idle. Returns the permuted
-            (shade planes + fn + fs, pix) — the first-chunk planes ride
-            along so the trace kernel can rotate its chunk loops to each
-            tile's dominant chunk."""
-            from ptdn_tpu.ops.pallas import shade as SH
-
-            fn = first_chunk_plane(ds, sh[SH.O_SPX], sh[SH.O_SPY],
-                                   sh[SH.O_SPZ], sh[SH.O_DX], sh[SH.O_DY],
-                                   sh[SH.O_DZ])
-            fs = first_chunk_plane(ds, sh[SH.O_SPX], sh[SH.O_SPY],
-                                   sh[SH.O_SPZ], sh[SH.O_SDX],
-                                   sh[SH.O_SDY], sh[SH.O_SDZ])
-            # non-NEE lanes carry garbage shadow dirs; key them as
-            # "no shadow chunk" so they don't split the buckets
-            fs = jnp.where(sh[SH.O_NEE] > 0.5, fs, n_chunks_static)
-            key = fn * (n_chunks_static + 1)
-            if do_vis:
-                key = key + fs
-            key = jnp.where(sh[SH.O_ACT] > 0.5, key, jnp.int32(1 << 30))
-            order = jax.lax.sort_key_val(
-                key.reshape(n), jnp.arange(n, dtype=jnp.int32))[1]
-            allp = jnp.concatenate(
-                [sh, fn[None].astype(jnp.float32),
-                 fs[None].astype(jnp.float32), pix[None]], axis=0)
-            k_pl = allp.shape[0]
-            # v5e row gathers run at ~125 M idx/s while the table is
-            # small and fall off a cliff beyond ~110 MB; above the cliff
-            # 8-wide column groups are the measured optimum — (2M, 24)
-            # takes 63 ms in one gather, 32 ms as three 8-wide gathers,
-            # yet 88 ms as two 12-wide ones (benchmarks/micro_sort.py)
-            if k_pl * n * 4 > 110 * 1024 * 1024:
-                outs = []
-                for lo in range(0, k_pl, 8):
-                    hi = min(lo + 8, k_pl)
-                    rows = allp[lo:hi].reshape(hi - lo, n).T[order]
-                    outs.append(rows.T.reshape(hi - lo, nb, 128))
-                allp = jnp.concatenate(outs, axis=0)
-            else:
-                rows = allp.reshape(k_pl, n).T[order]
-                allp = rows.T.reshape(allp.shape)
-            return allp[:-1], allp[-1]
-
         def bounce_sorted(carry, depth):
             """Split-pipeline bounce: shade launch -> coherence sort ->
             trace launch (NEE visibility + next closest-hit). The sort
@@ -776,7 +879,13 @@ def make_trace_fn(scene, cfg, resolution, full_height=None, interpret=None):
                 jnp.concatenate([planes, pix[None]], axis=0), pv,
                 jnp.stack([fd, lane0]), _static_mats(scene),
                 cfg.shadow_ray, cfg.reduce_var, interpret=interp)
-            outA, pix = permute_by_key(ds, outA, pix)
+            lhd = 0.5 * jnp.sqrt(jnp.sum(
+                (ds.geom_bb_max[light_geom] - ds.geom_bb_min[light_geom])
+                ** 2))
+            outA, pix = permute_by_key(
+                ds, outA, pix, n, nb, n_chunks_static, do_vis,
+                light_pos=ds.geom_translation[light_geom],
+                light_radius=lhd)
             out, tex_comp = BK.trace_bounce_pallas(
                 outA, pv, ds,
                 geom_types=scene.geom_types,

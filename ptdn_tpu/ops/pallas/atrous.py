@@ -235,8 +235,8 @@ def atrous_level_pallas(color, variance, static_planes, static_halo: int,
         kern,
         grid=(hp // STRIP,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),        # dyn planes (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),        # static planes
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # dyn (HBM)
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # static
             pl.BlockSpec((1, 3), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),       # sigmas
         ],

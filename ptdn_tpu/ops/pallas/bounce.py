@@ -142,7 +142,7 @@ def bounce_fused_pallas(planes_in, params_vec, frame_plus_depth, ds,
     do_next, pad). Returns (N_BOUT, NB, 128) f32."""
     nb = planes_in.shape[1]
     has_pix = planes_in.shape[0] == N_BIN + 1
-    n_chunks = int(ds.tri_chunk_min.shape[0]) if n_tris else 0
+    n_chunks = int(ds.tri_chunk_min.shape[0]) // 5 if n_tris else 0
     kern = functools.partial(
         _kernel, mats=mats, shadow_ray=shadow_ray, reduce_var=reduce_var,
         geom_types=tuple(geom_types), geom_mats=tuple(geom_mats),
@@ -201,8 +201,9 @@ def _trace_kernel(inp, par_ref,
     act = inp[O_ACT]
     rr, rg, rb = inp[O_RR], inp[O_RG], inp[O_RB]
     from ptdn_tpu.ops.pallas.shade import N_OUT as _NO
-    fn = inp[_NO] if has_fc else None        # next-ray first chunk
-    fs = inp[_NO + 1] if has_fc else None    # shadow-ray first chunk
+    # crossed-chunk-ID range planes (engine.wavefront.chunk_range_planes)
+    next_range = (inp[_NO], inp[_NO + 1]) if has_fc else None
+    shadow_range = (inp[_NO + 2], inp[_NO + 3]) if has_fc else None
 
     vis_refs = (tf_r, inv_r, invt_r, gbbmin_r, gbbmax_r, tri_r, cmin_r,
                 cmax_r)
@@ -211,7 +212,7 @@ def _trace_kernel(inp, par_ref,
             (spx, spy, spz), (inp[O_SDX], inp[O_SDY], inp[O_SDZ]),
             vis_refs, shape, geom_types=geom_types, n_tris=n_tris,
             n_chunks=n_chunks, light_geom=light_geom,
-            nee_mask=inp[O_NEE], first_chunk=fs)
+            nee_mask=inp[O_NEE], chunk_range=shadow_range)
         # select, not multiply: cr/cg/cb can be inf/NaN on non-NEE lanes
         litb = lit > 0.5
         rr = rr + jnp.where(litb, inp[O_CR] * light_emit[0], 0.0)
@@ -242,7 +243,7 @@ def _trace_kernel(inp, par_ref,
             (spx, spy, spz), (dx, dy, dz),
             refs, shape, geom_types=geom_types, geom_mats=geom_mats,
             n_tris=n_tris, n_chunks=n_chunks, cull=cull, compat=compat,
-            alive=act, first_chunk=fn)
+            alive=act, chunk_range=next_range)
         out[B_T] = t
         out[B_NX] = nx
         out[B_NY] = ny
@@ -298,17 +299,17 @@ def trace_bounce_pallas(planes_in, params_vec, ds,
                         emit_tex=False, mat_texids=(), tex_whs=(),
                         interpret=False):
     """planes_in: (shade.N_OUT, NB, 128) f32 (the shade kernel's output,
-    coherence-sorted) — or (shade.N_OUT+2, ...) with trailing
-    (next-ray first-chunk, shadow-ray first-chunk) planes that rotate
-    the kernel's chunk loops to each tile's dominant chunk. params_vec:
-    (8,) f32 with do_next at [6]. Returns (N_BOUT, NB, 128) f32 in the
-    fused bounce kernel's layout."""
+    coherence-sorted) — or (shade.N_OUT+4, ...) with trailing
+    (next_lo, next_hi, shadow_lo, shadow_hi) crossed-chunk-ID range
+    planes that bound the kernel's chunk loops to each tile's union
+    range. params_vec: (8,) f32 with do_next at [6]. Returns
+    (N_BOUT, NB, 128) f32 in the fused bounce kernel's layout."""
     from ptdn_tpu.ops.pallas.shade import N_OUT as SH_N_OUT
 
     nb = planes_in.shape[1]
-    has_fc = planes_in.shape[0] == SH_N_OUT + 2
+    has_fc = planes_in.shape[0] == SH_N_OUT + 4
     n_in = planes_in.shape[0]
-    n_chunks = int(ds.tri_chunk_min.shape[0]) if n_tris else 0
+    n_chunks = int(ds.tri_chunk_min.shape[0]) // 5 if n_tris else 0
     atlas_hw = (int(ds.tex_atlas.shape[1]), int(ds.tex_atlas.shape[2]))
     kern = functools.partial(
         _trace_kernel, geom_types=tuple(geom_types),

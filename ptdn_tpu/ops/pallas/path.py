@@ -257,7 +257,7 @@ def path_trace_fused_pallas(planes_in, params_vec, frame_lane0, ds,
              and `slot` each lane's position in that packing (-1 if
              untextured)."""
     nb = planes_in.shape[1]
-    n_chunks = int(ds.tri_chunk_min.shape[0]) if n_tris else 0
+    n_chunks = int(ds.tri_chunk_min.shape[0]) // 5 if n_tris else 0
     atlas_hw = (int(ds.tex_atlas.shape[1]), int(ds.tex_atlas.shape[2]))
     emit_tex = emit_tex and depth > 1
     rows = block_rows(n_chunks)

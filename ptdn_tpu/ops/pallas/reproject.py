@@ -239,8 +239,8 @@ def back_projection_stencil_pallas(res, current_color, curr_gb, prev_gb,
         kern,
         grid=(hp // STRIP,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),           # prev pack
-            pl.BlockSpec(memory_space=pltpu.ANY),           # curr pack
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),           # prev pack
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),           # curr pack
             pl.BlockSpec((3, 4), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 2), lambda i: (0, 0),

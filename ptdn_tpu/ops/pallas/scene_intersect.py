@@ -22,6 +22,7 @@ The caller refines the winning triangle with the exact glm-parity test
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +30,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ptdn_tpu.scene.parser import CUBE, MESH, SPHERE
+
+# Sub-chunk (32-tri quarter) culling mode inside admitted chunks:
+#   "off"  — all 16 Möller groups straight-line per needing row
+#   "tile" — dynamic group range from the tile-union of sub-chunk AABB
+#            crossings (one vector test per sub-chunk per chunk)
+# A/B knob (benchmarks/profile_mesh.py); per-ROW bounds were measured
+# out (bunny 221 -> 251 ms: per-row scalar work dominates).
+SUBCHUNK = os.environ.get("PTDN_SUBCHUNK", "off")
 
 FLT_MAX = 3.402823466e38
 FLT_EPSILON = 1.1920929e-07
@@ -38,9 +47,38 @@ TCHUNK = 128
 TGROUP = 8
 
 
+def _sub_chunk_any(cmin_r, cmax_r, n_chunks, c, s, ox, oy, oz,
+                   ix, iy, iz, twin=None):
+    """Does ANY lane of the tile cross chunk c's s-th 32-tri sub-chunk
+    AABB (rows n_chunks + 4c + s of the extended chunk-AABB operand,
+    scene/scene.py)? Whole-tile vector test + one reduction — computed
+    ONCE per (chunk, sub-chunk), never per row (per-row scalar work is
+    the measured killer: ~24 SMEM reads + reductions per row ate the
+    entire sub-chunk win, bunny 221 -> 251 ms). `twin` (optional) masks
+    lanes by their live t-window: a sub-chunk entered beyond every
+    lane's current best/limit can't matter."""
+    r = n_chunks + 4 * c + s
+    t0x = (cmin_r[r, 0] - ox) * ix
+    t1x = (cmax_r[r, 0] - ox) * ix
+    t0y = (cmin_r[r, 1] - oy) * iy
+    t1y = (cmax_r[r, 1] - oy) * iy
+    t0z = (cmin_r[r, 2] - oz) * iz
+    t1z = (cmax_r[r, 2] - oz) * iz
+    tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                   jnp.minimum(t0y, t1y)),
+                       jnp.minimum(t0z, t1z))
+    tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                   jnp.maximum(t0y, t1y)),
+                       jnp.maximum(t0z, t1z))
+    crossed = (tmax >= 0.0) & (tmin <= tmax)
+    if twin is not None:
+        crossed = crossed & (tmin < twin)
+    return jnp.any(crossed)
+
+
 def light_visibility_tiles(o, d, vis_refs, shape, *, geom_types,
                            n_tris: int, n_chunks: int, light_geom: int,
-                           nee_mask=None, first_chunk=None,
+                           nee_mask=None, chunk_range=None,
                            static_mats=None):
     """Visibility-only closest hit on tiles: did the closest hit land on
     `light_geom`? Any-hit semantics against the light distance: no
@@ -49,7 +87,11 @@ def light_visibility_tiles(o, d, vis_refs, shape, *, geom_types,
     shadow rays are the cheapest pass this way (NEE consumes only this
     boolean, pathtrace.cu:374). `nee_mask` (f32, optional) pre-masks
     lanes that don't carry a shadow ray so they can't keep the loop
-    alive. Returns the lit mask as f32."""
+    alive. `chunk_range` ((lo, hi) f32 planes, optional): each lane's
+    crossed-chunk-ID range (engine.wavefront.chunk_range_planes); the
+    loop then scans only the tile union [min(lo), max(hi)] — chunks
+    outside it are crossed by no lane and can't occlude (exact).
+    Returns the lit mask as f32."""
     (tf_r, inv_r, invt_r, gbbmin_r, gbbmax_r, tri_r, cmin_r,
      cmax_r) = vis_refs
     ox, oy, oz = o
@@ -108,12 +150,13 @@ def light_visibility_tiles(o, d, vis_refs, shape, *, geom_types,
                                         keepdims=True))
 
     def chunk_occlusion(c, lit):
-        """Per-lane window cull + tile-wide compaction (see
-        chunk_body_compact): only still-lit lanes whose t-window crosses
-        the chunk AABB are tested, packed into ceil(K/128) rows."""
-        from ptdn_tpu.ops.pallas.compact import (tile_gather_compact,
-                                                 tile_route, tile_uncompact)
-
+        """Per-lane window cull + NEEDING-ROW loop: only rows holding a
+        still-lit lane whose t-window crosses the chunk AABB run the
+        Möller groups (sorted tiles put needing lanes in contiguous
+        rows, so the row range is short). Replaces the old tile-wide
+        compaction: same tested-lane superset, no route/gather/uncompact
+        machinery. Per row, sub-chunk AABB bounds trim the group
+        unroll."""
         t0x = (cmin_r[c, 0] - ox) * idx
         t1x = (cmax_r[c, 0] - ox) * idx
         t0y = (cmin_r[c, 1] - oy) * idy
@@ -128,13 +171,23 @@ def light_visibility_tiles(o, d, vis_refs, shape, *, geom_types,
                            jnp.maximum(t0z, t1z))
         need = jnp.where((lit > 0.5) & (tmax >= 0.0) & (tmin <= tmax)
                          & (tmin < ta), 1.0, 0.0)
+        row_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        r_lo = jnp.min(jnp.where(need > 0.5, row_i, shape[0]))
+        r_hi = jnp.max(jnp.where(need > 0.5, row_i, -1))
+        if SUBCHUNK == "tile":
+            # tile-union Möller group bounds (see chunk_body_compact)
+            twin = jnp.where(lit > 0.5, ta, -FLT_MAX)
+            g_lo = jnp.int32(16)
+            g_end = jnp.int32(0)
+            for s in range(4):
+                sc = _sub_chunk_any(cmin_r, cmax_r, n_chunks, c, s,
+                                    ox, oy, oz, idx, idy, idz, twin=twin)
+                g_lo = jnp.where(sc, jnp.minimum(g_lo, 4 * s), g_lo)
+                g_end = jnp.where(sc, 4 * s + 4, g_end)
+        else:
+            g_lo, g_end = None, None
 
         def do(lit):
-            slot, k_total, route = tile_route(
-                jnp.where(need > 0.5, 1, 0), shape)
-            planes = [tile_gather_compact(x, route, shape)
-                      for x in (ox, oy, oz, dx, dy, dz, ta)]
-            rows_needed = jax.lax.shift_right_logical(k_total + 127, 7)
             row_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
 
             def row_body(r, occ):
@@ -143,21 +196,27 @@ def light_visibility_tiles(o, d, vis_refs, shape, *, geom_types,
                     jax.lax.slice(
                         jnp.take_along_axis(p, rfull, axis=0),
                         (0, 0), (1, 128))
-                    for p in planes]
-                ro = jnp.zeros((1, 128), jnp.float32)
-                for g in range(TCHUNK // TGROUP):
+                    for p in (ox, oy, oz, dx, dy, dz, ta)]
+
+                def one_group(g, ro):
                     sl = tri_r[pl.ds(c * TCHUNK + g * TGROUP, TGROUP), :]
-                    ro = occ_one_row(sl, rox, roy, roz, rdx, rdy, rdz,
-                                     rta, ro)
+                    return occ_one_row(sl, rox, roy, roz, rdx, rdy, rdz,
+                                       rta, ro)
+
+                ro = jnp.zeros((1, 128), jnp.float32)
+                if SUBCHUNK == "tile":
+                    ro = jax.lax.fori_loop(g_lo, g_end, one_group, ro)
+                else:
+                    for g in range(TCHUNK // TGROUP):
+                        ro = one_group(g, ro)
                 return jnp.where(row_iota == r,
                                  jnp.broadcast_to(ro, shape), occ)
 
-            occ = jax.lax.fori_loop(0, rows_needed, row_body,
+            occ = jax.lax.fori_loop(r_lo, r_hi + 1, row_body,
                                     jnp.zeros(shape, jnp.float32))
-            occ_back = tile_uncompact(occ, slot, shape, 0.0)
-            return lit * (1.0 - occ_back)
+            return lit * (1.0 - occ)
 
-        return jax.lax.cond(jnp.max(need) > 0.5, do, lambda l: l, lit)
+        return jax.lax.cond(r_hi >= r_lo, do, lambda l: l, lit)
 
     def any_hit_chunk(c, lit):
         """Dense whole-tile any-hit (small scenes: few chunks, most
@@ -175,22 +234,22 @@ def light_visibility_tiles(o, d, vis_refs, shape, *, geom_types,
 
         return jax.lax.fori_loop(0, TCHUNK // TGROUP, group, lit)
 
-    def cond(state):
-        i, lit = state
-        return (i < n_chunks) & (jnp.max(lit) > 0.5)
-
-    if first_chunk is not None and n_chunks > 4:
-        # sorted-wavefront: start at the tile's dominant shadow chunk —
-        # the likeliest occluder — so the all-occluded early exit fires
-        # sooner and later chunks' per-lane culls see shrunk lit masks
-        c0 = jax.lax.rem(jnp.min(first_chunk).astype(jnp.int32),
-                         jnp.int32(n_chunks))
+    if chunk_range is not None and n_chunks > 4:
+        # sorted-wavefront: scan only the tile's union crossed range —
+        # chunks outside [c_lo, c_hi] are crossed by no lane (exact)
+        lo_p, hi_p = chunk_range
+        c_lo = jnp.min(lo_p).astype(jnp.int32)
+        c_hi = jnp.max(hi_p).astype(jnp.int32)
     else:
-        c0 = jnp.int32(0)
+        c_lo = jnp.int32(0)
+        c_hi = jnp.int32(n_chunks - 1)
+
+    def cond(state):
+        c, lit = state
+        return (c <= c_hi) & (jnp.max(lit) > 0.5)
 
     def body(state):
-        i, lit = state
-        c = jax.lax.rem(c0 + i, jnp.int32(n_chunks))
+        c, lit = state
         # the compacted branch's dynamic row reads are vreg-local
         # (tpu.dynamic_gather axis=0: exactly 8 sublanes), so blocks
         # taller than 8 rows (the 32-row whole-path kernel) must take
@@ -202,9 +261,9 @@ def light_visibility_tiles(o, d, vis_refs, shape, *, geom_types,
                                lambda l: l, lit)
         else:
             lit = chunk_occlusion(c, lit)
-        return i + 1, lit
+        return c + 1, lit
 
-    _, lit = jax.lax.while_loop(cond, body, (jnp.int32(0), lit))
+    _, lit = jax.lax.while_loop(cond, body, (c_lo, lit))
     return lit
 
 
@@ -236,7 +295,7 @@ def light_visibility_pallas(ds, geom_types, o, d, n_tris: int,
     comps = [o[:, 0].reshape(nb, 128), o[:, 1].reshape(nb, 128),
              o[:, 2].reshape(nb, 128), d[:, 0].reshape(nb, 128),
              d[:, 1].reshape(nb, 128), d[:, 2].reshape(nb, 128)]
-    n_chunks = int(ds.tri_chunk_min.shape[0]) if n_tris else 0
+    n_chunks = int(ds.tri_chunk_min.shape[0]) // 5 if n_tris else 0
     kern = functools.partial(_vis_kernel, geom_types=tuple(geom_types),
                              n_tris=n_tris, n_chunks=n_chunks,
                              light_geom=light_geom)
@@ -446,19 +505,20 @@ def _one_geom(geom_types, tf, inv, invt, gi, gtype, o, d, shape, best,
 
 
 def _mesh_best(tri_r, cmin_r, cmax_r, o, d, ta, ga, shape, n_tris: int,
-               n_chunks: int, cull: bool, alive=None, first_chunk=None):
+               n_chunks: int, cull: bool, alive=None, chunk_range=None):
     """Chunked brute-force mesh closest hit over the whole block.
     Returns (best_t, best_tri_index) as f32 tiles (FLT_MAX = none).
     `alive` (f32 mask, optional) excludes dead lanes from the per-lane
     window cull and compaction — their outputs are garbage the caller
     already masks (the fused path kernel gates on act).
-    `first_chunk` (f32 plane, optional): each lane's nearest crossed
-    chunk id (n_chunks = none). When the engine sorts lanes by this key
-    the tile is chunk-pure — rotating the chunk loop to START at the
-    tile's first chunk makes most lanes hit immediately, so their
-    t-windows collapse and the remaining chunks' per-lane culls fail
-    (second crossings otherwise spread over every chunk: measured 84 us
-    -> ~16 us per crossing tile on bunny)."""
+    `chunk_range` ((lo, hi) f32 planes, optional): each lane's
+    crossed-chunk-ID range over an UNBOUNDED t-window
+    (engine.wavefront.chunk_range_planes). The chunk loop then scans
+    only the tile union [min(lo), max(hi)]: a chunk outside a lane's
+    crossed set can't contain a hit for it, so one outside the union
+    contains none for the tile (exact — the per-lane window culls
+    inside the range are unchanged). With lanes sorted by the range
+    pair the union is ~2-4 chunks on bunny instead of all 39."""
     ox, oy, oz = o
     dx, dy, dz = d
     sub_i = jax.lax.broadcasted_iota(jnp.int32, (TGROUP, 1), 0).astype(
@@ -568,17 +628,17 @@ def _mesh_best(tri_r, cmin_r, cmax_r, o, d, ta, ga, shape, n_tris: int,
         return jnp.where(upd, gt, bt), jnp.where(upd, gi, bi)
 
     def chunk_body_compact(c, best):
-        """Per-chunk closest hit with per-LANE culling + tile-wide ray
-        compaction: only rays whose t-window crosses the chunk AABB are
-        tested, packed into ceil(K/128) rows (bounce rays hit ~1 of C
-        chunk AABBs each, so K ~ 27 of 1024 on the mesh scenes — an
-        ~5x cut of the dominant Moller work). Exactness: a ray missing
-        the chunk AABB (or with tmin >= best_t) cannot produce a
-        winning hit inside it; chunk/group order and strict-< updates
-        are unchanged, so tie-breaking matches chunk_body."""
-        from ptdn_tpu.ops.pallas.compact import (tile_gather_compact,
-                                                 tile_route, tile_uncompact)
-
+        """Per-chunk closest hit with per-LANE culling + NEEDING-ROW
+        loop: only rows holding a lane whose t-window crosses the chunk
+        AABB run the Möller groups, and per row sub-chunk AABB bounds
+        trim the 16-group unroll to the crossed quarters (sorted tiles
+        put needing lanes in contiguous rows and sub-chunks, so both
+        ranges are short). Replaces the old tile-wide compaction — same
+        tested-lane superset without the route/gather/uncompact
+        machinery. Exactness: a ray missing the chunk AABB (or with
+        tmin >= best_t) cannot produce a winning hit inside it;
+        chunk/group order and strict-< updates are unchanged, so
+        tie-breaking matches chunk_body."""
         bt, bi = best
         t0x = (cmin_r[c, 0] - ox) * idx
         t1x = (cmax_r[c, 0] - ox) * idx
@@ -592,23 +652,29 @@ def _mesh_best(tri_r, cmin_r, cmax_r, o, d, ta, ga, shape, n_tris: int,
         tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                        jnp.maximum(t0y, t1y)),
                            jnp.maximum(t0z, t1z))
-        hitf = jnp.where((tmax >= 0.0) & (tmin <= tmax) & (tmin < bt),
-                         1.0, 0.0)
+        need = (tmax >= 0.0) & (tmin <= tmax) & (tmin < bt)
+        row_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        r_lo = jnp.min(jnp.where(need, row_i, shape[0]))
+        r_hi = jnp.max(jnp.where(need, row_i, -1))
+        if SUBCHUNK == "tile":
+            # Möller group bounds from the tile-union of sub-chunk
+            # crossings — ONE whole-tile vector test + reduction per
+            # sub-chunk, shared by every row (per-row bounds were the
+            # measured killer, see _sub_chunk_any)
+            g_lo = jnp.int32(16)
+            g_end = jnp.int32(0)
+            for s in range(4):
+                sc = _sub_chunk_any(cmin_r, cmax_r, n_chunks, c, s,
+                                    ox, oy, oz, idx, idy, idz, twin=bt)
+                g_lo = jnp.where(sc, jnp.minimum(g_lo, 4 * s), g_lo)
+                g_end = jnp.where(sc, 4 * s + 4, g_end)
+        else:
+            g_lo, g_end = None, None
 
         def do(best):
-            bt, bi = best
-            slot, k_total, route = tile_route(
-                jnp.where(hitf > 0.5, 1, 0), shape)
-            planes = [tile_gather_compact(x, route, shape)
-                      for x in (ox, oy, oz, dx, dy, dz)]
-            rows_needed = jax.lax.shift_right_logical(k_total + 127, 7)
             row_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
 
             def row_body(r, acc):
-                """ONE branch per populated row: the 16 tri groups are
-                unrolled straight-line (in-kernel lax.cond costs ~0.1us
-                of scalar-pipeline stall; at ~1 populated row per chunk
-                the old per-row conds cost more than the Moller work)."""
                 ct, ci = acc
                 rfull = jnp.full(shape, r, jnp.int32)
                 # dynamic row extract: sublane gather + static row slice
@@ -616,30 +682,37 @@ def _mesh_best(tri_r, cmin_r, cmax_r, o, d, ta, ga, shape, n_tris: int,
                     jax.lax.slice(
                         jnp.take_along_axis(p, rfull, axis=0),
                         (0, 0), (1, 128))
-                    for p in planes]
-                rt = jnp.full((1, 128), FLT_MAX)
-                ri = jnp.full((1, 128), FLT_MAX)
-                for g in range(TCHUNK // TGROUP):
+                    for p in (ox, oy, oz, dx, dy, dz)]
+
+                def one_group(g, acc2):
+                    rt, ri = acc2
                     sl = tri_r[pl.ds(c * TCHUNK + g * TGROUP, TGROUP), :]
                     base_f = (c * TCHUNK + g * TGROUP).astype(jnp.float32)
-                    rt, ri = moller_one_row(sl, base_f, rox, roy, roz,
-                                            rdx, rdy, rdz, rt, ri)
+                    return moller_one_row(sl, base_f, rox, roy, roz,
+                                          rdx, rdy, rdz, rt, ri)
+
+                rt0 = jnp.full((1, 128), FLT_MAX)
+                if SUBCHUNK == "tile":
+                    rt, ri = jax.lax.fori_loop(g_lo, g_end, one_group,
+                                               (rt0, rt0))
+                else:
+                    # all 16 groups straight-line: in-kernel scalar
+                    # control flow per row costs more than the skipped
+                    # Möller vector work (docs/PERF_NOTES.md)
+                    rt, ri = rt0, rt0
+                    for g in range(TCHUNK // TGROUP):
+                        rt, ri = one_group(g, (rt, ri))
                 sel = row_iota == r
                 return (jnp.where(sel, jnp.broadcast_to(rt, shape), ct),
                         jnp.where(sel, jnp.broadcast_to(ri, shape), ci))
 
             ct0 = jnp.full(shape, FLT_MAX, jnp.float32)
-            ct, ci = jax.lax.fori_loop(0, rows_needed, row_body,
+            ct, ci = jax.lax.fori_loop(r_lo, r_hi + 1, row_body,
                                        (ct0, ct0))
+            upd = ct < bt
+            return (jnp.where(upd, ct, bt), jnp.where(upd, ci, bi))
 
-            t_back = tile_uncompact(ct, slot, shape, FLT_MAX)
-            i_back = tile_uncompact(ci, slot, shape, FLT_MAX)
-            upd = t_back < bt
-            return (jnp.where(upd, t_back, bt),
-                    jnp.where(upd, i_back, bi))
-
-        return jax.lax.cond(jnp.max(hitf) > 0.5, do, lambda b: b,
-                            (bt, bi))
+        return jax.lax.cond(r_hi >= r_lo, do, lambda b: b, (bt, bi))
 
     # seed the running best with the analytic winner's t: mesh hits beyond
     # it lose the merge anyway (strict <), so chunk culling can reject
@@ -675,21 +748,14 @@ def _mesh_best(tri_r, cmin_r, cmax_r, o, d, ta, ga, shape, n_tris: int,
         bt, bi = best
     else:
         body = chunk_body_compact if cull else chunk_body
-        if first_chunk is not None:
-            # rotate the loop to start at the tile's dominant first
-            # chunk. NB: this reorders cross-chunk processing, so an
-            # exact t-tie between triangles in DIFFERENT chunks can
-            # break differently than the array-order loop (the
-            # reference's BVH traversal order differs from both; within
-            # a chunk the order is unchanged).
-            c0 = jnp.min(first_chunk).astype(jnp.int32)
-            c0 = jax.lax.rem(c0, jnp.int32(n_chunks))
-
-            def rot_body(i, best):
-                return body(jax.lax.rem(c0 + i, jnp.int32(n_chunks)),
-                            best)
-
-            bt, bi = jax.lax.fori_loop(0, n_chunks, rot_body, (bt0, bi0))
+        if chunk_range is not None:
+            # scan only the tile's union crossed-ID range (array order
+            # within it, so cross-chunk t-tie-breaking matches the
+            # unsorted full scan)
+            lo_p, hi_p = chunk_range
+            c_lo = jnp.min(lo_p).astype(jnp.int32)
+            c_hi = jnp.max(hi_p).astype(jnp.int32)
+            bt, bi = jax.lax.fori_loop(c_lo, c_hi + 1, body, (bt0, bi0))
         else:
             bt, bi = jax.lax.fori_loop(0, n_chunks, body, (bt0, bi0))
     return bt, bi
@@ -746,9 +812,12 @@ def _mesh_attr_refine(tri_attr_t_ref, bt, bi, o, d, shape, n_tris: int,
         local = ii - c * TCHUNK
         inchunk = found & (local >= 0) & (local < TCHUNK)
         idx = jnp.clip(local, 0, TCHUNK - 1)
+        # one 32-row block load (dynamic start stays 32-sublane-aligned,
+        # so this also works with a traced c), then static row slices
+        blk = tri_attr_t_ref[pl.ds(c * 32, 32), :]              # [32, 128]
         new = []
         for ch in range(25):
-            row = tri_attr_t_ref[pl.ds(c * 32 + ch, 1), :]      # [1, 128]
+            row = jax.lax.slice(blk, (ch, 0), (ch + 1, 128))    # [1, 128]
             pick = jnp.take_along_axis(
                 jnp.broadcast_to(row, shape), idx, axis=1)
             new.append(jnp.where(inchunk, pick, acc[ch]))
@@ -758,13 +827,17 @@ def _mesh_attr_refine(tri_attr_t_ref, bt, bi, o, d, shape, n_tris: int,
         for c in range(n_chunks):
             acc = resolve_chunk(c, acc)
     else:
+        # scan only the winners' chunk-ID range: winner chunk = ii >> 7;
+        # with coherence-sorted tiles this is 1-2 trips instead of a
+        # per-chunk any+cond over every chunk
+        cw = jax.lax.shift_right_logical(ii, 7)
+        wlo = jnp.min(jnp.where(found, cw, n_chunks))
+        whi = jnp.max(jnp.where(found, cw, -1))
+
         def body(c, acc):
-            def hit(acc):
-                return tuple(resolve_chunk(c, list(acc)))
-            any_here = jnp.any(found & (ii >= c * TCHUNK)
-                               & (ii < (c + 1) * TCHUNK))
-            return jax.lax.cond(any_here, hit, lambda a: a, tuple(acc))
-        acc = list(jax.lax.fori_loop(0, n_chunks, body, tuple(acc)))
+            return tuple(resolve_chunk(c, list(acc)))
+
+        acc = list(jax.lax.fori_loop(wlo, whi + 1, body, tuple(acc)))
 
     (v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z,
      n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z,
@@ -811,7 +884,7 @@ def _mesh_attr_refine(tri_attr_t_ref, bt, bi, o, d, shape, n_tris: int,
 
 def closest_hit_tiles(o, d, scene_refs, shape, *, geom_types, geom_mats,
                       n_tris: int, n_chunks: int, cull: bool, compat: bool,
-                      alive=None, first_chunk=None, static_mats=None):
+                      alive=None, chunk_range=None, static_mats=None):
     """Fully-resolved closest hit on tiles: analytic + mesh + attributes
     + merge (the engine's intersect() contract). `scene_refs` is the
     (tf, inv, invt, gbbmin, gbbmax, tri, cmin, cmax, attr) ref tuple.
@@ -832,7 +905,7 @@ def closest_hit_tiles(o, d, scene_refs, shape, *, geom_types, geom_mats,
     else:
         bt, bi = _mesh_best(tri_r, cmin_r, cmax_r, o, d, ta, ga, shape,
                             n_tris, n_chunks, cull, alive=alive,
-                            first_chunk=first_chunk)
+                            chunk_range=chunk_range)
         t_m, mh, mnx, mny, mnz, uvx, uvy, m_geom = _mesh_attr_refine(
             attr_r, bt, bi, o, d, shape, n_tris, n_chunks, compat)
         mesh_wins = mh & (~a_valid | (t_m < ta))
@@ -952,7 +1025,7 @@ def scene_intersect_full_tex_pallas(ds, geom_types, geom_mats, o, d,
     comps = [o[:, 0].reshape(nb, 128), o[:, 1].reshape(nb, 128),
              o[:, 2].reshape(nb, 128), d[:, 0].reshape(nb, 128),
              d[:, 1].reshape(nb, 128), d[:, 2].reshape(nb, 128)]
-    n_chunks = int(ds.tri_chunk_min.shape[0]) if n_tris else 0
+    n_chunks = int(ds.tri_chunk_min.shape[0]) // 5 if n_tris else 0
     atlas_hw = (int(ds.tex_atlas.shape[1]), int(ds.tex_atlas.shape[2]))
     kern = functools.partial(
         _kernel_full_tex, geom_types=tuple(geom_types),
@@ -1003,7 +1076,7 @@ def scene_intersect_full_pallas(ds, geom_types, geom_mats, o, d,
     comps = [o[:, 0].reshape(nb, 128), o[:, 1].reshape(nb, 128),
              o[:, 2].reshape(nb, 128), d[:, 0].reshape(nb, 128),
              d[:, 1].reshape(nb, 128), d[:, 2].reshape(nb, 128)]
-    n_chunks = int(ds.tri_chunk_min.shape[0]) if n_tris else 0
+    n_chunks = int(ds.tri_chunk_min.shape[0]) // 5 if n_tris else 0
     kern = functools.partial(_kernel_full, geom_types=tuple(geom_types),
                              geom_mats=tuple(geom_mats), n_tris=n_tris,
                              n_chunks=n_chunks, cull=cull, compat=compat)
@@ -1053,7 +1126,7 @@ def scene_intersect_pallas(ds, geom_types, o, d, n_tris: int,
              o[:, 2].reshape(nb, 128), d[:, 0].reshape(nb, 128),
              d[:, 1].reshape(nb, 128), d[:, 2].reshape(nb, 128)]
 
-    n_chunks = int(ds.tri_chunk_min.shape[0]) if n_tris else 0
+    n_chunks = int(ds.tri_chunk_min.shape[0]) // 5 if n_tris else 0
     kern = functools.partial(_kernel, geom_types=tuple(geom_types),
                              n_tris=n_tris, n_chunks=n_chunks, cull=cull)
     ray_spec = pl.BlockSpec((RROWS, 128), lambda i: (i, 0),

@@ -89,8 +89,15 @@ class DeviceScene:
                                 # texel (measured ~1.7x faster than the
                                 # multi-dim 3-channel gather on v5e)
     tex_wh: object              # (K, 2) i32 (w, h)
-    tri_chunk_min: object       # (C, 3) f32 chunk AABBs (for chunk culling)
-    tri_chunk_max: object       # (C, 3) f32
+    # rows [0, C): 128-tri chunk AABBs (chunk culling); rows
+    # [C + 4c + s]: sub-chunk AABBs over tris [128c+32s, 128c+32s+32)
+    # — folded into the SAME operand so the Pallas kernels get a
+    # 2-level hierarchy without extra pallas_call inputs (extra SMEM
+    # operands measurably cost per-grid-step bookkeeping, see
+    # docs/PERF_NOTES.md supergroup post-mortem). Empty sub ranges get
+    # inverted boxes (min=+3e37 > max=-3e37) that no ray crosses.
+    tri_chunk_min: object       # (5C, 3) f32
+    tri_chunk_max: object       # (5C, 3) f32
     # Moller-Trumbore SoA for the Pallas scene-intersect kernel:
     # rows are (v0.xyz, e1.xyz, e2.xyz, 0,0,0) per triangle
     tri_moller: object          # (Tp, 12) f32
@@ -297,8 +304,8 @@ class Scene:
         e1, e2 = v1 - v0, v2 - v0
         n_chunks = tp // 128
         # chunk AABBs over REAL triangles only (padding rows excluded)
-        cmin = np.full((n_chunks, 3), np.inf, F)
-        cmax = np.full((n_chunks, 3), -np.inf, F)
+        cmin = np.full((5 * n_chunks, 3), np.inf, F)
+        cmax = np.full((5 * n_chunks, 3), -np.inf, F)
         for c in range(n_chunks):
             lo, hi = c * 128, min((c + 1) * 128, self.n_tris)
             if lo < hi:
@@ -307,6 +314,17 @@ class Scene:
             else:
                 cmin[c] = 0.0
                 cmax[c] = 0.0
+            # sub-chunk AABBs (32-tri quarters); empty -> inverted box
+            for s in range(4):
+                slo = c * 128 + s * 32
+                shi = min(slo + 32, self.n_tris)
+                r = n_chunks + 4 * c + s
+                if slo < shi:
+                    cmin[r] = self.tri_v[slo:shi].reshape(-1, 3).min(axis=0)
+                    cmax[r] = self.tri_v[slo:shi].reshape(-1, 3).max(axis=0)
+                else:
+                    cmin[r] = 3e37
+                    cmax[r] = -3e37
 
         # per-geom world AABBs: unit cube corners through each transform
         corners = np.array([[x, y, z, 1.0] for x in (-0.5, 0.5)

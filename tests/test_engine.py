@@ -231,3 +231,154 @@ def test_compat_false_renders_and_differs(cornell):
     assert np.isfinite(c).all()
     diff = np.abs(b - c).max(axis=-1)
     assert (diff > 1e-3).mean() < 0.01
+
+
+def test_sticky_diffuse_skips_emissive_hit_hand_computed(tmp_path):
+    """PARITY.md quirk #5 at a hand-computed 3-bounce sequence.
+
+    The reference never resets the `diffuse` path flag after a diffuse
+    bounce (interactions.h:102 is commented out), and with
+    shadow_ray+reduce_var on, an emissive hit adds NOTHING to a flagged
+    path (pathtrace.cu:331-336) — even after intermediate SPECULAR
+    bounces. Scene built so radiance is closed-form independent of the
+    RNG stream:
+
+      * geom 0: a giant emissive box ENCLOSING everything (every
+        scattered ray terminates on it, and it is the NEE target),
+      * geom 1: a thin diffuse plate the camera looks down at
+        (EYE is given MIRRORED below the look-at: the replicated
+        resetCamera quirk — acos(view.y) in main.cpp:77-101 measures
+        theta from +y — rebuilds the eye at (0, 4, 0.5) ABOVE it),
+      * geom 2: an off-axis mirror slab high above (+x side), so part
+        of the cosine hemisphere takes plate -> MIRROR -> enclosure
+        (3 bounces) and the rest plate -> enclosure (2 bounces).
+
+    With the quirk, both path shapes contribute exactly the plate's
+    one NEE term C1 (every later emissive hit is skipped). Without
+    reduce_var the same paths also add throughput*E at the terminal
+    hit, and throughput is the plate albedo A for BOTH shapes (the
+    mirror's SPECRGB is 1), so:
+
+        radiance(skip)             == C1            (plate pixels)
+        radiance(noskip) - (skip)  == A * E         (plate pixels)
+        enclosure-first pixels     == E, difference 0
+
+    C1 = A * E * shadow_intensity / d^2 * lambert with the NEE sample
+    pinned to the light CENTER by light_radius=0 (computeShadowRay,
+    pathtrace.cu:284-297). The two runs share RNG streams, so the
+    difference isolates exactly the add_emit gate."""
+    scene_txt = """\
+MATERIAL 0
+RGB         1 .8 .6
+SPECEX      0
+SPECRGB     0 0 0
+REFL        0
+REFR        0
+REFRIOR     0
+EMITTANCE   5
+
+MATERIAL 1
+RGB         .5 .25 .8
+SPECEX      0
+SPECRGB     0 0 0
+REFL        0
+REFR        0
+REFRIOR     0
+EMITTANCE   0
+
+MATERIAL 2
+RGB         .9 .9 .9
+SPECEX      5
+SPECRGB     1 1 1
+REFL        1
+REFR        0
+REFRIOR     0
+EMITTANCE   0
+
+CAMERA
+RES         8 8
+FOVY        45
+FILE        sticky
+EYE         0 -3.5 0.5
+LOOKAT      0 0.25 0
+UP          0 1 0
+
+OBJECT 0
+cube
+material 0
+TRANS       0 10 0
+ROTAT       0 0 0
+SCALE       100 100 100
+
+OBJECT 1
+cube
+material 1
+TRANS       0 0.24 0
+ROTAT       0 0 0
+SCALE       .5 .02 .5
+
+OBJECT 2
+cube
+material 2
+TRANS       30 5 0
+ROTAT       0 0 0
+SCALE       40 .2 80
+"""
+    path = tmp_path / "sticky.txt"
+    path.write_text(scene_txt)
+    scene = Scene(str(path))
+    assert scene.geom_types[0] != 3  # light is analytic (cube)
+
+    from ptdn_tpu.engine.wavefront import make_trace_fn
+    from ptdn_tpu.ops.camera import generate_camera_rays
+
+    res = (8, 8)
+
+    def render(reduce_var):
+        cfg = RenderConfig(backend="xla", trace_depth=8,
+                           denoise_enable=False, shadow_ray=True,
+                           reduce_var=reduce_var, light_radius=0.0,
+                           shadow_intensity=2.7)
+        r = Renderer(scene, cfg, resolution=res)
+        trace = make_trace_fn(scene, cfg, res)
+        cam = r.camera.frame().as_pytree()
+        rad, _, _ = trace(r.ds, cam, r._params, jnp.uint32(0))
+        return np.asarray(rad, np.float64), cam
+
+    skip, cam = render(True)
+    noskip, _ = render(False)
+
+    # --- hand-computed expectation (float64 numpy, no engine code) ---
+    o, d = generate_camera_rays(cam, res)
+    o = np.asarray(o, np.float64)
+    d = np.asarray(d, np.float64)
+    bmin = np.array([-0.25, 0.23, -0.25])
+    bmax = np.array([0.25, 0.25, 0.25])
+    t0 = (bmin - o) / d
+    t1 = (bmax - o) / d
+    tlo, thi = np.minimum(t0, t1), np.maximum(t0, t1)
+    tmin, tmax = tlo.max(-1), thi.min(-1)
+    hit = (tmax >= tmin) & (tmin > 0)
+    # geometry sanity: every plate hit is on the TOP face, comfortably
+    # inside the edges (no engine-vs-numpy tie ambiguity)
+    assert hit.any() and not hit.all()
+    assert (np.argmax(tlo, -1)[hit] == 1).all() and (d[hit, 1] < 0).all()
+    p = o + tmin[:, None] * d
+    assert (np.abs(p[hit][:, [0, 2]]) < 0.25 - 1e-3).all()
+
+    E = np.array([1.0, 0.8, 0.6]) * 5.0
+    A = np.array([0.5, 0.25, 0.8])
+    nrm = np.array([0.0, 1.0, 0.0])
+    s_origin = p + 1e-4 * nrm
+    delta = np.array([0.0, 10.0, 0.0]) - s_origin
+    dist = np.linalg.norm(delta, axis=-1)
+    lam = np.maximum(0.0, (delta / dist[:, None]) @ nrm)
+    c1 = (A * E)[None] * (2.7 / dist**2 * lam)[:, None]
+
+    expected_skip = np.where(hit[:, None], c1, E[None])
+    np.testing.assert_allclose(skip, expected_skip, rtol=3e-5, atol=1e-6)
+    # the difference isolates the skipped terminal emission: A*E on
+    # plate paths (identical RNG streams -> identical geometry/paths)
+    expected_diff = np.where(hit[:, None], (A * E)[None], 0.0)
+    np.testing.assert_allclose(noskip - skip, expected_diff,
+                               rtol=3e-5, atol=1e-6)
