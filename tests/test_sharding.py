@@ -79,6 +79,42 @@ def test_uneven_height_rejected(cpu_mesh, scene):
         make_sharded_step(scene, cfg, (48, 31), mesh=cpu_mesh)
 
 
+def test_sharded_sorted_mesh_config_matches_single_device(cpu_mesh):
+    """The PRODUCTION mesh config under shard_map: room.txt (22 triangle
+    chunks -> sort_rays auto-selects ON, fuse_bounce sorted split-pipeline,
+    2 textures, NEE shadow rays). The per-bounce coherence sort is
+    shard-local (each chip permutes only its own lanes, pixel ids ride a
+    carried plane), so the sharded render must match single-device.
+    Raw (left) image per-pixel; denoised to float tolerance (XLA GSPMD
+    denoiser vs single-chip pallas kernels)."""
+    from ptdn_tpu.engine.wavefront import set_pallas_interpret
+
+    room = Scene("/root/reference/scenes/room.txt")
+    cfg = RenderConfig(denoise_enable=True, temporal_enable=True,
+                       spatial_enable=True, trace_depth=2, atrous_nlevel=2,
+                       backend="pallas")
+    ds, cam, vm, params = _inputs(room, cfg)
+
+    try:
+        cpu0 = jax.devices("cpu")[0]
+        with jax.default_device(cpu0):
+            step1 = jax.jit(make_frame_step(room, cfg, RES))
+            st1 = init_frame_state(RES)
+            st1, l1, r1 = step1(st1, ds, cam, vm, params, jnp.uint32(0),
+                                jnp.bool_(True))
+
+        stepN, stN, _ = make_sharded_step(room, cfg, RES, mesh=cpu_mesh)
+        stN, lN, rN = stepN(stN, ds, cam, vm, params, jnp.uint32(0),
+                            jnp.bool_(True))
+    finally:
+        set_pallas_interpret(None)
+
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(lN),
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(rN),
+                               atol=1e-3, rtol=1e-4)
+
+
 def test_sharded_pallas_trace_matches_single_device(cpu_mesh, scene):
     """backend="pallas" multi-chip: the trace runs under shard_map with
     per-shard row offsets threaded into pixel coords and RNG lane seeds
