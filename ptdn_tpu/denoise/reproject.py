@@ -483,6 +483,26 @@ def back_projection_banded(res, current_color, curr_gb, prev_gb,
                                  lum, color_alpha_min, moment_alpha_min)
 
 
+def motion_bounds(res, curr_gb, prev_viewmat):
+    """Classify this frame's reprojection displacement: returns traced
+    booleans (near, banded_ok) — near: every reprojected base within
+    +-1 px of its own pixel (the gather-free stencil domain); banded_ok:
+    vertical displacement within BAND_MARGIN (the banded slab domain)."""
+    w, h = res
+    fx, fy, _, _, _ = _reproj_base(res, curr_gb["position"], prev_viewmat)
+    iy = jnp.arange(h, dtype=jnp.int32)[:, None]
+    ix = jnp.arange(w, dtype=jnp.int32)[None, :]
+    # miss/background lanes (geom_id == -1) carry arbitrary positions and
+    # must not veto the fast path — their taps are rejected by the geomId
+    # validity test either way (isReprjValid, reference src/denoise.cu:178)
+    valid = curr_gb["geom_id"].reshape(h, w) >= 0
+    dyv = jnp.where(valid, jnp.abs(fy - iy), 0)
+    dxv = jnp.where(valid, jnp.abs(fx - ix), 0)
+    near = (jnp.max(dyv) <= 1) & (jnp.max(dxv) <= 1)
+    banded_ok = jnp.max(dyv) <= BAND_MARGIN
+    return near, banded_ok
+
+
 def back_projection_auto(res, current_color, curr_gb, prev_gb,
                          prev_viewmat, color_history, moment_history,
                          history_length, color_alpha_min, moment_alpha_min,
@@ -499,18 +519,7 @@ def back_projection_auto(res, current_color, curr_gb, prev_gb,
     compiled) — same tap math, parity-tested."""
     import jax
 
-    w, h = res
-    fx, fy, _, _, _ = _reproj_base(res, curr_gb["position"], prev_viewmat)
-    iy = jnp.arange(h, dtype=jnp.int32)[:, None]
-    ix = jnp.arange(w, dtype=jnp.int32)[None, :]
-    # miss/background lanes (geom_id == -1) carry arbitrary positions and
-    # must not veto the fast path — their taps are rejected by the geomId
-    # validity test either way (isReprjValid, reference src/denoise.cu:178)
-    valid = curr_gb["geom_id"].reshape(h, w) >= 0
-    dyv = jnp.where(valid, jnp.abs(fy - iy), 0)
-    dxv = jnp.where(valid, jnp.abs(fx - ix), 0)
-    near = (jnp.max(dyv) <= 1) & (jnp.max(dxv) <= 1)
-    banded_ok = jnp.max(dyv) <= BAND_MARGIN
+    near, banded_ok = motion_bounds(res, curr_gb, prev_viewmat)
 
     if pallas_interpret is None:
         stencil = lambda a: back_projection_stencil(res, *a)

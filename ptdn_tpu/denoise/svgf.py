@@ -46,6 +46,20 @@ def make_denoise_fn(cfg, resolution, interpret=None):
     w, h = resolution
     interp_override = interpret
 
+    # fused reprojection + à-trous level 1 (ops/pallas/reproject_atrous):
+    # the accumulated color never round-trips HBM. Gated to the shape the
+    # fusion is valid for: level 1 is not the last level (no albedo
+    # remodulation inside), its output IS the new color history
+    # (history_level == 1, the reference default), and no debug view
+    # bypasses filtering.
+    # Off by default: measured neutral-to-slightly-negative on cornell
+    # (round 2's fused stencil already removed the reprojection gather
+    # cost; see utils/config.py:fuse_reproject_l1).
+    fuse_l1 = (cfg.fuse_reproject_l1
+               and cfg.backend == "pallas" and cfg.temporal_enable
+               and cfg.spatial_enable and cfg.atrous_nlevel >= 2
+               and cfg.history_level == 1 and cfg.right_view_option == 0)
+
     def denoise(state, raw_color, gbuffer, view_mat, params
                 ) -> Tuple[jnp.ndarray, Dict]:
         prev_gb = {
@@ -53,6 +67,68 @@ def make_denoise_fn(cfg, resolution, interpret=None):
             "normal": state["prev_normal"],
             "geom_id": state["prev_geom_id"],
         }
+        if fuse_l1:
+            import jax
+
+            from ptdn_tpu.denoise.reproject import (BAND_MARGIN,
+                                                    back_projection_banded,
+                                                    back_projection_window,
+                                                    motion_bounds)
+            from ptdn_tpu.engine.wavefront import _pallas_interpret
+            from ptdn_tpu.ops.pallas.atrous import (atrous_level_pallas,
+                                                    pack_static_planes)
+            from ptdn_tpu.ops.pallas.reproject_atrous import \
+                back_projection_atrous1_pallas
+
+            interp = (_pallas_interpret() if interp_override is None
+                      else interp_override)
+            static_planes, static_halo = pack_static_planes(
+                gbuffer, max_level=cfg.atrous_nlevel)
+            near, banded_ok = motion_bounds((w, h), gbuffer,
+                                            state["prev_view"])
+            args = (raw_color, gbuffer, prev_gb, state["prev_view"],
+                    state["color_history"], state["moment_history"],
+                    state["history_length"],
+                    params["color_alpha"], params["moment_alpha"])
+            l1_kw = dict(sigma_l=params["sigma_l"],
+                         sigma_n=params["sigma_n"],
+                         sigma_x=params["sigma_x"],
+                         blur_variance=cfg.blur_variance)
+
+            def _near(a):
+                return back_projection_atrous1_pallas(
+                    (w, h), *a, interpret=interp, **l1_kw)
+
+            def _far(a):
+                var0, acc, mom, hist = jax.lax.cond(
+                    banded_ok,
+                    lambda aa: back_projection_banded(
+                        (w, h), *aa, margin=BAND_MARGIN),
+                    lambda aa: back_projection_window((w, h), *aa), a)
+                dst1, var1 = atrous_level_pallas(
+                    acc, var0, static_planes, static_halo, (h, w), 1,
+                    is_last=False, add_color=False, interpret=interp,
+                    **l1_kw)
+                return dst1, var1, mom, hist
+
+            src, var, moment_acc, hist_up = jax.lax.cond(
+                near, _near, _far, args)
+            color_history = src
+            for level in range(2, cfg.atrous_nlevel + 1):
+                src, var = atrous_level_pallas(
+                    src, var, static_planes, static_halo, (h, w), level,
+                    is_last=(level == cfg.atrous_nlevel),
+                    add_color=(cfg.sep_color and cfg.add_color),
+                    interpret=interp, **l1_kw)
+            return src, {
+                "color_history": color_history,
+                "moment_history": moment_acc,
+                "history_length": hist_up,
+                "prev_position": gbuffer["position"],
+                "prev_normal": gbuffer["normal"],
+                "prev_geom_id": gbuffer["geom_id"],
+                "prev_view": view_mat,
+            }
         # temporal off forces alpha = 1.0 (denoise.cu:360-361)
         if cfg.temporal_enable:
             from ptdn_tpu.denoise.reproject import back_projection_auto

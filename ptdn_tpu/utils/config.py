@@ -95,6 +95,14 @@ class RenderConfig:
     # so results match the unsorted path up to XLA fusion differences
     # (~1 ulp on <1% of lanes; tests/test_engine.py).
     sort_rays: Any = None
+    # fused temporal-reprojection + à-trous-level-1 kernel
+    # (ops/pallas/reproject_atrous.py): the accumulated color never
+    # round-trips HBM between the two stages. Measured NEUTRAL on
+    # cornell 800x800 (A/B reps 16.75 vs 16.09 and 19.35 vs 18.30 ms —
+    # within tunnel noise, slightly negative), because round 2's fused
+    # stencil kernel already removed the gather cost; kept off by
+    # default, parity-tested (tests/test_denoise.py).
+    fuse_reproject_l1: bool = False
 
     def traced_params(self) -> Dict[str, Any]:
         """Continuous parameters as a traced float32 pytree."""
@@ -119,6 +127,7 @@ class RenderConfig:
             self.sep_color, self.add_color, self.right_view_option,
             self.backend, self.mesh_mode, self.compat,
             self.fuse_bounce, self.fuse_path, self.sort_rays,
+            self.fuse_reproject_l1,
         )
 
     def replace(self, **kw) -> "RenderConfig":

@@ -286,6 +286,36 @@ def test_backprojection_stencil_pallas_parity(stencil_args):
                                    atol=2e-6, err_msg=name)
 
 
+def test_backprojection_atrous1_fused_parity(stencil_args):
+    """The fused reprojection + à-trous-level-1 kernel must match the
+    composition of its two parity-tested oracles (back_projection_stencil
+    -> atrous_level at level 1) on the stencil's gated domain — including
+    the moment/history side outputs and the level-1 variance."""
+    from ptdn_tpu.denoise.atrous import atrous_level
+    from ptdn_tpu.denoise.reproject import back_projection_stencil
+    from ptdn_tpu.ops.pallas.reproject_atrous import \
+        back_projection_atrous1_pallas
+
+    args = stencil_args
+    res, color, gb_c = args[0], args[1], args[2]
+    sig = dict(sigma_l=jnp.float32(0.45), sigma_n=jnp.float32(0.2),
+               sigma_x=jnp.float32(0.35))
+    for blur in (False, True):
+        var0, acc, mom, hist = back_projection_stencil(*args)
+        c_ref, v_ref = atrous_level(acc, var0, gb_c, 1, is_last=False,
+                                    blur_variance=blur, add_color=False,
+                                    **sig)
+        c_f, v_f, mom_f, hist_f = back_projection_atrous1_pallas(
+            *args, blur_variance=blur, interpret=True, **sig)
+        np.testing.assert_allclose(np.asarray(c_ref), np.asarray(c_f),
+                                   atol=2e-5, err_msg="color")
+        np.testing.assert_allclose(np.asarray(v_ref), np.asarray(v_f),
+                                   atol=2e-5, err_msg="var")
+        np.testing.assert_allclose(np.asarray(mom), np.asarray(mom_f),
+                                   atol=2e-6, err_msg="moments")
+        assert np.array_equal(np.asarray(hist), np.asarray(hist_f))
+
+
 def test_backprojection_banded_parity():
     """The banded slab gather must match back_projection_window
     BIT-exactly whenever vertical displacement <= its margin (the
