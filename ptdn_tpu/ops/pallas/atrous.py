@@ -31,13 +31,37 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-STRIP = 64   # output rows per grid step
+STRIP = 64   # baseline output rows per grid step (see _pick_strip)
 
 
 def _halo(level: int) -> int:
     """Row halo for a level: 2*step for the taps + 1 for the Gaussian,
     rounded up to the 8-sublane tiling Mosaic requires of slice shapes."""
     return -(-(2 * (1 << level) + 1) // 8) * 8
+
+
+# VMEM budget for the strip scratch buffers (the kernel runs with a
+# 100 MB vmem_limit; leave room for outputs + compiler temporaries)
+_VMEM_SCRATCH_CAP = 56 * 1024 * 1024
+
+
+def _pick_strip(h: int, wp: int, halo: int, n_planes: int) -> int:
+    """Output rows per grid step for this (image, level): each strip
+    re-DMAs its 2*halo overlap, so taller strips cut total HBM traffic
+    (level 5's halo is 72 rows — at STRIP=64 that is 3.25x the payload),
+    bounded by the VMEM scratch budget and the padding waste of the last
+    strip. Minimizes DMA'd rows + padded compute rows."""
+    per_row = n_planes * wp * 4
+    best_s, best_cost = STRIP, None
+    s = STRIP
+    while s <= -(-h // 8) * 8:
+        if (s + 2 * halo) * per_row <= _VMEM_SCRATCH_CAP:
+            nstrips = -(-h // s)
+            cost = nstrips * (s + 2 * halo) + (nstrips * s - h)
+            if best_cost is None or cost < best_cost:
+                best_s, best_cost = s, cost
+        s += 8
+    return best_s
 
 # 5x5 B3-spline kernel weights (denoise.cu:82-86)
 _H5 = np.asarray([1/256, 1/64, 3/128, 1/64, 1/256,
@@ -65,32 +89,32 @@ def _col_shift(img, dx: int):
 
 def _kernel(dyn_hbm, stat_hbm, sig_ref, out_c, out_v, dbuf, sbuf, sems,
             *, level: int, h: int, w: int, wp: int, is_last: bool,
-            blur_variance: bool, add_color: bool):
+            blur_variance: bool, add_color: bool, strip: int = STRIP):
     step = 1 << level
     halo = _halo(level)
-    rows = STRIP + 2 * halo
+    rows = strip + 2 * halo
     i = pl.program_id(0)
 
     cp_d = pltpu.make_async_copy(
-        dyn_hbm.at[:, pl.ds(i * STRIP, rows), :], dbuf, sems.at[0])
+        dyn_hbm.at[:, pl.ds(i * strip, rows), :], dbuf, sems.at[0])
     cp_s = pltpu.make_async_copy(
-        stat_hbm.at[:, pl.ds(i * STRIP, rows), :], sbuf, sems.at[1])
+        stat_hbm.at[:, pl.ds(i * strip, rows), :], sbuf, sems.at[1])
     cp_d.start()
     cp_s.start()
     cp_d.wait()
     cp_s.wait()
 
     def dyn(p, dy=0, dx=0):
-        sl = dbuf[p, halo + dy: halo + dy + STRIP, :]   # static ref slice
+        sl = dbuf[p, halo + dy: halo + dy + strip, :]   # static ref slice
         return _col_shift(sl, dx)
 
     def stat(p, dy=0, dx=0):
-        sl = sbuf[p, halo + dy: halo + dy + STRIP, :]
+        sl = sbuf[p, halo + dy: halo + dy + strip, :]
         return _col_shift(sl, dx)
 
     # global coords of this strip's output pixels (validity masks)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (STRIP, wp), 0) + i * STRIP
-    xs = jax.lax.broadcasted_iota(jnp.int32, (STRIP, wp), 1)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (strip, wp), 0) + i * strip
+    xs = jax.lax.broadcasted_iota(jnp.int32, (strip, wp), 1)
 
     def inb(dy: int, dx: int):
         return (((ys + dy) >= 0) & ((ys + dy) < h)
@@ -98,8 +122,8 @@ def _kernel(dyn_hbm, stat_hbm, sig_ref, out_c, out_v, dbuf, sbuf, sems,
 
     # ---- variance at p: optional border-renormalized 3x3 Gaussian ----
     if blur_variance:
-        vsum = jnp.zeros((STRIP, wp), jnp.float32)
-        wsum = jnp.zeros((STRIP, wp), jnp.float32)
+        vsum = jnp.zeros((strip, wp), jnp.float32)
+        wsum = jnp.zeros((strip, wp), jnp.float32)
         k = 0
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
@@ -123,12 +147,12 @@ def _kernel(dyn_hbm, stat_hbm, sig_ref, out_c, out_v, dbuf, sbuf, sems,
     px, py, pz = stat(_PX), stat(_PY), stat(_PZ)
     nx, ny, nz = stat(_NX), stat(_NY), stat(_NZ)
 
-    csum_r = jnp.zeros((STRIP, wp), jnp.float32)
-    csum_g = jnp.zeros((STRIP, wp), jnp.float32)
-    csum_b = jnp.zeros((STRIP, wp), jnp.float32)
-    vsum2 = jnp.zeros((STRIP, wp), jnp.float32)
-    wsum2 = jnp.zeros((STRIP, wp), jnp.float32)
-    w2sum = jnp.zeros((STRIP, wp), jnp.float32)
+    csum_r = jnp.zeros((strip, wp), jnp.float32)
+    csum_g = jnp.zeros((strip, wp), jnp.float32)
+    csum_b = jnp.zeros((strip, wp), jnp.float32)
+    vsum2 = jnp.zeros((strip, wp), jnp.float32)
+    wsum2 = jnp.zeros((strip, wp), jnp.float32)
+    w2sum = jnp.zeros((strip, wp), jnp.float32)
 
     k = 0
     for j in (-2, -1, 0, 1, 2):          # k = (2+i) + (2+j)*5 order
@@ -188,21 +212,30 @@ def _pad_planes(planes, halo, hp, h, w, wp):
     return jnp.pad(planes, ((0, 0), (halo, halo + hp - h), (0, wp - w)))
 
 
-def pack_static_planes(gbuffer, max_level: int):
+def pack_static_planes(gbuffer, max_level: int, with_albedo: bool = True):
     """G-buffer planes packed once per frame, padded for the LARGEST halo
-    (all levels share them; smaller levels just read a sub-window)."""
+    and strip (all levels share them; smaller levels/strips just read a
+    sub-window). with_albedo=False drops the 3 albedo*ialbedo planes —
+    only the last level with add_color reads them, so every other config
+    saves a third of the static DMA at each level."""
     h, w = gbuffer["position"].shape[:2]
-    alb = gbuffer["albedo"] * gbuffer["ialbedo"]
-    planes = jnp.stack([
+    plist = [
         gbuffer["position"][..., 0], gbuffer["position"][..., 1],
         gbuffer["position"][..., 2],
         gbuffer["normal"][..., 0], gbuffer["normal"][..., 1],
         gbuffer["normal"][..., 2],
-        alb[..., 0], alb[..., 1], alb[..., 2],
-    ])
+    ]
+    if with_albedo:
+        alb = gbuffer["albedo"] * gbuffer["ialbedo"]
+        plist += [alb[..., 0], alb[..., 1], alb[..., 2]]
+    planes = jnp.stack(plist)
     halo = _halo(max_level)
     wp = -(-w // 128) * 128
-    hp = -(-h // STRIP) * STRIP
+    n_stat = len(plist)
+    hp = max(
+        -(-h // s) * s
+        for s in (_pick_strip(h, wp, _halo(lv), 4 + n_stat)
+                  for lv in range(1, max(max_level, 1) + 1)))
     return _pad_planes(planes, halo, hp, h, w, wp), halo
 
 
@@ -215,7 +248,12 @@ def atrous_level_pallas(color, variance, static_planes, static_halo: int,
     h, w = gbuffer_shape
     halo = _halo(level)
     wp = -(-w // 128) * 128
-    hp = -(-h // STRIP) * STRIP
+    n_stat = int(static_planes.shape[0])
+    if is_last and add_color and n_stat < 9:
+        raise ValueError("add_color needs pack_static_planes(with_albedo"
+                         "=True)")
+    strip = _pick_strip(h, wp, halo, 4 + n_stat)
+    hp = -(-h // strip) * strip
 
     dyn = jnp.stack([color[..., 0], color[..., 1], color[..., 2], variance])
     dyn = _pad_planes(dyn, halo, hp, h, w, wp)
@@ -227,13 +265,13 @@ def atrous_level_pallas(color, variance, static_planes, static_halo: int,
     sig = jnp.stack([jnp.float32(sigma_l), jnp.float32(sigma_n),
                      jnp.float32(sigma_x)]).reshape(1, 3)
 
-    rows = STRIP + 2 * halo
+    rows = strip + 2 * halo
     kern = functools.partial(_kernel, level=level, h=h, w=w, wp=wp,
                              is_last=is_last, blur_variance=blur_variance,
-                             add_color=add_color)
+                             add_color=add_color, strip=strip)
     out_c, out_v = pl.pallas_call(
         kern,
-        grid=(hp // STRIP,),
+        grid=(hp // strip,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # dyn (HBM)
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # static
@@ -241,9 +279,9 @@ def atrous_level_pallas(color, variance, static_planes, static_halo: int,
                          memory_space=pltpu.SMEM),       # sigmas
         ],
         out_specs=[
-            pl.BlockSpec((3, STRIP, wp), lambda i: (0, i, 0),
+            pl.BlockSpec((3, strip, wp), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((STRIP, wp), lambda i: (i, 0),
+            pl.BlockSpec((strip, wp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -252,7 +290,7 @@ def atrous_level_pallas(color, variance, static_planes, static_halo: int,
         ],
         scratch_shapes=[
             pltpu.VMEM((4, rows, wp), jnp.float32),
-            pltpu.VMEM((9, rows, wp), jnp.float32),
+            pltpu.VMEM((n_stat, rows, wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(

@@ -180,29 +180,40 @@ def _kernel(inp, par_ref, fd_ref,
             # compaction entirely — identity packing is value-correct
             # and just pays full rows in the deferred ladder
             cap_rows = min(8, rrows)
-            slot, k_tile, route = tile_route(
-                jnp.where(textured, 1, 0), shape, out_rows=cap_rows)
 
-            def compacted(_):
-                cv = tile_gather_compact(tidx, route, shape)
+            def route_emit(_):
+                slot, k_tile, route = tile_route(
+                    jnp.where(textured, 1, 0), shape, out_rows=cap_rows)
+
+                def compacted(_):
+                    cv = tile_gather_compact(tidx, route, shape)
+                    if cap_rows < rrows:
+                        cv = jnp.concatenate(
+                            [cv, jnp.zeros((rrows - cap_rows, 128),
+                                           jnp.int32)], axis=0)
+                    return slot, cv, k_tile
+
+                def identity(_):
+                    rowi = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+                    lanei = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+                    sl_id = jnp.where(textured, rowi * 128 + lanei, -1)
+                    return (sl_id, jnp.maximum(tidx, 0),
+                            jnp.int32(rrows * 128))
+
                 if cap_rows < rrows:
-                    cv = jnp.concatenate(
-                        [cv, jnp.zeros((rrows - cap_rows, 128),
-                                       jnp.int32)], axis=0)
-                return slot, cv, k_tile
+                    return jax.lax.cond(
+                        k_tile <= cap_rows * 128, compacted, identity, None)
+                return compacted(None)
 
-            def identity(_):
-                rowi = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-                lanei = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-                sl_id = jnp.where(textured, rowi * 128 + lanei, -1)
-                return (sl_id, jnp.maximum(tidx, 0),
-                        jnp.int32(rrows * 128))
+            def no_texels(_):
+                # texel-free (tile, depth): skip the whole prefix-sum +
+                # binary-search routing; slot=-1 means "untextured" to
+                # tile_uncompact and count 0 contributes no ladder rows
+                return (jnp.full(shape, -1, jnp.int32),
+                        jnp.zeros(shape, jnp.int32), jnp.int32(0))
 
-            if cap_rows < rrows:
-                slot_f, cv_f, k_f = jax.lax.cond(
-                    k_tile <= cap_rows * 128, compacted, identity, None)
-            else:
-                slot_f, cv_f, k_f = compacted(None)
+            slot_f, cv_f, k_f = jax.lax.cond(
+                jnp.any(textured), route_emit, no_texels, None)
             sl_o[d - 1] = slot_f
             cv_o[d - 1] = cv_f
             cn_o[d - 1] = jnp.full(shape, k_f, jnp.int32)

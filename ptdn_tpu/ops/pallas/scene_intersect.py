@@ -421,38 +421,50 @@ def _one_geom(geom_types, tf, inv, invt, gi, gtype, o, d, shape, best,
         qdx, qdy, qdz = qdx * qn, qdy * qn, qdz * qn
 
         if gtype == CUBE:
-            # slab test (intersections.h:50-92)
+            # slab test (intersections.h:50-92); normal-plane tracking
+            # (6 where-updates per axis) is skipped entirely for
+            # visibility-only callers (want_normals=False) — the NEE
+            # shadow pass consumes just the winning geom id
             tmin = jnp.full(shape, -1e38, jnp.float32)
             tmax = jnp.full(shape, 1e38, jnp.float32)
-            tmin_nx = jnp.zeros(shape, jnp.float32)
-            tmin_ny = jnp.zeros(shape, jnp.float32)
-            tmin_nz = jnp.zeros(shape, jnp.float32)
-            tmax_nx = jnp.zeros(shape, jnp.float32)
-            tmax_ny = jnp.zeros(shape, jnp.float32)
-            tmax_nz = jnp.zeros(shape, jnp.float32)
+            if want_normals:
+                tmin_nx = jnp.zeros(shape, jnp.float32)
+                tmin_ny = jnp.zeros(shape, jnp.float32)
+                tmin_nz = jnp.zeros(shape, jnp.float32)
+                tmax_nx = jnp.zeros(shape, jnp.float32)
+                tmax_ny = jnp.zeros(shape, jnp.float32)
+                tmax_nz = jnp.zeros(shape, jnp.float32)
             for ax, (qo_a, qd_a) in enumerate(((qox, qdx), (qoy, qdy),
                                                (qoz, qdz))):
                 t1 = (-0.5 - qo_a) / qd_a
                 t2 = (0.5 - qo_a) / qd_a
                 ta = jnp.minimum(t1, t2)
                 tb = jnp.maximum(t1, t2)
-                nsign = jnp.where(t2 < t1, 1.0, -1.0)
                 um = (ta > 0) & (ta > tmin)
                 tmin = jnp.where(um, ta, tmin)
-                tmin_nx = jnp.where(um, nsign if ax == 0 else 0.0, tmin_nx)
-                tmin_ny = jnp.where(um, nsign if ax == 1 else 0.0, tmin_ny)
-                tmin_nz = jnp.where(um, nsign if ax == 2 else 0.0, tmin_nz)
                 ux = tb < tmax
                 tmax = jnp.where(ux, tb, tmax)
-                tmax_nx = jnp.where(ux, nsign if ax == 0 else 0.0, tmax_nx)
-                tmax_ny = jnp.where(ux, nsign if ax == 1 else 0.0, tmax_ny)
-                tmax_nz = jnp.where(ux, nsign if ax == 2 else 0.0, tmax_nz)
+                if want_normals:
+                    nsign = jnp.where(t2 < t1, 1.0, -1.0)
+                    tmin_nx = jnp.where(um, nsign if ax == 0 else 0.0,
+                                        tmin_nx)
+                    tmin_ny = jnp.where(um, nsign if ax == 1 else 0.0,
+                                        tmin_ny)
+                    tmin_nz = jnp.where(um, nsign if ax == 2 else 0.0,
+                                        tmin_nz)
+                    tmax_nx = jnp.where(ux, nsign if ax == 0 else 0.0,
+                                        tmax_nx)
+                    tmax_ny = jnp.where(ux, nsign if ax == 1 else 0.0,
+                                        tmax_ny)
+                    tmax_nz = jnp.where(ux, nsign if ax == 2 else 0.0,
+                                        tmax_nz)
             hit = (tmax >= tmin) & (tmax > 0)
             inside = tmin <= 0
             t_obj = jnp.where(inside, tmax, tmin)
-            n_ox = jnp.where(inside, tmax_nx, tmin_nx)
-            n_oy = jnp.where(inside, tmax_ny, tmin_ny)
-            n_oz = jnp.where(inside, tmax_nz, tmin_nz)
+            if want_normals:
+                n_ox = jnp.where(inside, tmax_nx, tmin_nx)
+                n_oy = jnp.where(inside, tmax_ny, tmin_ny)
+                n_oz = jnp.where(inside, tmax_nz, tmin_nz)
         else:  # SPHERE (intersections.h:104-146)
             vdot = qox * qdx + qoy * qdy + qoz * qdz
             radicand = vdot * vdot - (qox * qox + qoy * qoy + qoz * qoz

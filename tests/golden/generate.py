@@ -26,7 +26,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
-from tests.test_golden import CONFIGS, SCENES, _render  # noqa: E402
+from tests.test_golden import (CONFIGS, PALLAS_CONFIGS,  # noqa: E402
+                               PALLAS_SCENES, SCENES, _render)
 
 GOLDEN = os.path.dirname(os.path.abspath(__file__))
 
@@ -35,6 +36,17 @@ def main(names):
     for name in names or sorted(CONFIGS):
         left, right = _render("xla", CONFIGS[name], SCENES[name])
         path = os.path.join(GOLDEN, f"{name}.npz")
+        np.savez_compressed(path, left=left, right=right)
+        print(f"wrote {path}  left_mean={left.mean():.6f} "
+              f"right_mean={right.mean():.6f}")
+    # pallas self-goldens (interpret mode on CPU, default flags): the
+    # 1e-6 regression lock for the fused kernels
+    for name in names or sorted(PALLAS_CONFIGS):
+        if name not in PALLAS_CONFIGS:
+            continue
+        left, right = _render("pallas", PALLAS_CONFIGS[name],
+                              PALLAS_SCENES[name])
+        path = os.path.join(GOLDEN, f"{name}.pallas.npz")
         np.savez_compressed(path, left=left, right=right)
         print(f"wrote {path}  left_mean={left.mean():.6f} "
               f"right_mean={right.mean():.6f}")
