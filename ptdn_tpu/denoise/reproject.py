@@ -407,17 +407,32 @@ def back_projection_banded(res, current_color, curr_gb, prev_gb,
                            prev_viewmat, color_history, moment_history,
                            history_length, color_alpha_min,
                            moment_alpha_min, band_rows=64, margin=16):
-    """back_projection_window with the gather split into horizontal
-    BANDS, each reading a statically-sliced slab of the packed-window
-    table. Camera-motion flow is smooth, so when every valid pixel's
-    vertical displacement is <= `margin` (the back_projection_auto gate
-    for this path), each output band's window centers live in its own
-    slab — the gather's working set drops from the whole table (~750 MB
-    at 1080p, where the flat gather slows ~4x) to a few tens of MB.
-    Value-exact vs back_projection_window under the gate: valid-geometry
-    pixels index identically; geom_id==-1 pixels gather arbitrary rows
-    in EITHER path, and every tap of theirs fails the isReprjValid geom
-    test, so their outputs never read the gathered values."""
+    """back_projection_window restructured as per-band SLAB gathers with
+    a per-band dynamic vertical shift, so it handles ARBITRARY-magnitude
+    smooth camera motion without ever materializing the full packed
+    window table (~750 MB at 1080p, where the flat gather also slows
+    ~4x). Per output band of `band_rows` rows:
+
+      * the band's mean vertical displacement s_b (over valid-geometry
+        pixels) recenters its slab via lax.dynamic_slice — a pure pan of
+        ANY speed lands every tap inside a slab of just
+        band_rows + 2*margin + 1 rows;
+      * the 3x3x10ch window packing (90 f32/row, one gather per pixel —
+        see back_projection_window) is built per-slab from the shared
+        (h+4, w+4, 10) padded source, never for the whole frame.
+
+    Horizontal motion is unbounded by construction (slabs span full
+    rows). Vertical tolerance is |dy - s_b| <= ~margin; a tap whose row
+    falls outside its slab is REJECTED (history restart for that pixel,
+    denoise.cu:178 disocclusion semantics) rather than clamped — the
+    only deviation vs back_projection_window, and it needs per-pixel
+    vertical flow that differs from the band mean by >margin px/frame
+    (violent rotation/parallax). Value-exact vs back_projection_window
+    whenever per-band residual displacement stays within the margin:
+    valid-geometry pixels index identical values; geom_id==-1 pixels
+    gather arbitrary rows in EITHER path, and every tap of theirs fails
+    the isReprjValid geom test, so their outputs never read the
+    gathered values."""
     import jax
 
     w, h = res
@@ -440,30 +455,40 @@ def back_projection_banded(res, current_color, curr_gb, prev_gb,
     padded = jnp.concatenate([pad9, padg], axis=-1)   # (h+4, w+4, 10)
 
     gh, gw = h + 2, w + 2
-    cells = []
-    for a in range(3):
-        for b in range(3):
-            cells.append(padded[a:a + gh, b:b + gw, :])
-    grid = jnp.concatenate(cells, axis=-1)            # (gh, gw, 90)
-    # pad so every band slab is the same static height, including the
-    # last (possibly partial) band's slab
     n_bands = -(-h // band_rows)
-    bot = margin + 1 + (n_bands * band_rows - h)
-    gridp = jnp.pad(grid, ((margin, bot), (0, 0), (0, 0)))
+    slab_h = min(band_rows + 2 * margin + 1, gh)
 
     gj = jnp.clip(fx + 1, 0, gw - 1)
     gi = jnp.clip(fy + 1, 0, gh - 1)
+    iy = jnp.arange(h, dtype=jnp.int32)[:, None]
+    dyv = fy - iy
+    validg = curr_gb["geom_id"].reshape(h, w) >= 0
 
-    slab_h = band_rows + 2 * margin + 1
     outs = []
+    in_slabs = []
     for b in range(n_bands):
         r0, r1 = b * band_rows, min((b + 1) * band_rows, h)
+        vb = validg[r0:r1]
+        cnt = jnp.maximum(jnp.sum(vb.astype(jnp.int32)), 1)
+        s_b = jnp.floor(jnp.sum(jnp.where(vb, dyv[r0:r1], 0).astype(
+            jnp.float32)) / cnt.astype(jnp.float32) + 0.5).astype(jnp.int32)
+        # grid-row window [start, start+slab_h); padded rows add +2 halo
+        start = jnp.clip(r0 + s_b - margin, 0, gh - slab_h)
+        src = jax.lax.dynamic_slice(
+            padded, (start, jnp.int32(0), jnp.int32(0)),
+            (slab_h + 2, w + 4, 10))
+        cells = []
+        for a in range(3):
+            for c in range(3):
+                cells.append(src[a:a + slab_h, c:c + gw, :])
         slab = jax.lax.optimization_barrier(
-            gridp[r0:r0 + slab_h].reshape(slab_h * gw, 90))
-        li = jnp.clip(gi[r0:r1] + margin - r0, 0, slab_h - 1)
-        idx = (li * gw + gj[r0:r1]).reshape(-1)
+            jnp.concatenate(cells, axis=-1).reshape(slab_h * gw, 90))
+        li = gi[r0:r1] - start
+        in_slabs.append((li >= 0) & (li < slab_h))
+        idx = (jnp.clip(li, 0, slab_h - 1) * gw + gj[r0:r1]).reshape(-1)
         outs.append(slab[idx].reshape(r1 - r0, w, 9, 10))
     g = jnp.concatenate(outs, axis=0)
+    in_slab = jnp.concatenate(in_slabs, axis=0)
 
     geo_f = curr_geom.astype(jnp.float32)
     taps = {}
@@ -472,13 +497,13 @@ def back_projection_banded(res, current_color, curr_gb, prev_gb,
             a = g[..., (dy + 1) * 3 + (dx + 1), :]
             qx = fx + dx
             qy = fy + dy
-            inb = (qx >= 0) & (qx < w) & (qy >= 0) & (qy < h)
+            inb = ((qx >= 0) & (qx < w) & (qy >= 0) & (qy < h) & in_slab)
             pg = a[..., 9]
             same = (pg != -1) & (pg == geo_f)
             nd = jnp.linalg.norm(a[..., 6:9] - curr_normal, axis=-1)
             taps[(dy, dx)] = (a, inb & same & (nd <= 0.1))
 
-    return _accumulate_from_taps(taps, base_valid, fracx, fracy,
+    return _accumulate_from_taps(taps, base_valid & in_slab, fracx, fracy,
                                  current_color, curr_geom, history_length,
                                  lum, color_alpha_min, moment_alpha_min)
 
@@ -487,7 +512,9 @@ def motion_bounds(res, curr_gb, prev_viewmat):
     """Classify this frame's reprojection displacement: returns traced
     booleans (near, banded_ok) — near: every reprojected base within
     +-1 px of its own pixel (the gather-free stencil domain); banded_ok:
-    vertical displacement within BAND_MARGIN (the banded slab domain)."""
+    GLOBAL vertical displacement within BAND_MARGIN (kept for tests /
+    diagnostics; back_projection_banded's per-band shift now makes the
+    banded path itself cover arbitrary smooth motion)."""
     w, h = res
     fx, fy, _, _, _ = _reproj_base(res, curr_gb["position"], prev_viewmat)
     iy = jnp.arange(h, dtype=jnp.int32)[:, None]
@@ -509,17 +536,22 @@ def back_projection_auto(res, current_color, curr_gb, prev_gb,
                          pallas_interpret=None):
     """Runtime dispatch: the gather-free stencil path when every
     reprojected base is within +-1 pixel of its own position (static or
-    sub-pixel camera motion — the common interactive case); the banded
-    slab gather when vertical motion stays under its margin (smooth
-    camera animation); else the single-gather packed-window path
-    (arbitrary motion).
+    sub-pixel camera motion — the common interactive case); else the
+    per-band-shifted slab gather (back_projection_banded), which covers
+    ARBITRARY smooth camera motion. The single-gather packed-window
+    path (back_projection_window) is deliberately NOT a branch here:
+    its ~750 MB table at 1080p raises the program's peak HBM even on
+    frames that never take it (XLA reserves cond-branch temporaries),
+    and the banded path replaces it everywhere but >margin-per-band
+    residual flow, where banded restarts history instead (see its
+    docstring).
 
     pallas_interpret: None = use the XLA stencil for the near path;
     True/False = use the fused Pallas stencil kernel (interpreted or
     compiled) — same tap math, parity-tested."""
     import jax
 
-    near, banded_ok = motion_bounds(res, curr_gb, prev_viewmat)
+    near, _ = motion_bounds(res, curr_gb, prev_viewmat)
 
     if pallas_interpret is None:
         stencil = lambda a: back_projection_stencil(res, *a)
@@ -536,12 +568,7 @@ def back_projection_auto(res, current_color, curr_gb, prev_gb,
     return jax.lax.cond(
         near,
         stencil,
-        lambda a: jax.lax.cond(
-            banded_ok,
-            lambda aa: back_projection_banded(res, *aa,
-                                              margin=BAND_MARGIN),
-            lambda aa: back_projection_window(res, *aa),
-            a),
+        lambda a: back_projection_banded(res, *a, margin=BAND_MARGIN),
         args)
 
 

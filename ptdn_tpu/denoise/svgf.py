@@ -72,7 +72,6 @@ def make_denoise_fn(cfg, resolution, interpret=None):
 
             from ptdn_tpu.denoise.reproject import (BAND_MARGIN,
                                                     back_projection_banded,
-                                                    back_projection_window,
                                                     motion_bounds)
             from ptdn_tpu.engine.wavefront import _pallas_interpret
             from ptdn_tpu.ops.pallas.atrous import (atrous_level_pallas,
@@ -84,8 +83,7 @@ def make_denoise_fn(cfg, resolution, interpret=None):
                       else interp_override)
             static_planes, static_halo = pack_static_planes(
                 gbuffer, max_level=cfg.atrous_nlevel)
-            near, banded_ok = motion_bounds((w, h), gbuffer,
-                                            state["prev_view"])
+            near, _ = motion_bounds((w, h), gbuffer, state["prev_view"])
             args = (raw_color, gbuffer, prev_gb, state["prev_view"],
                     state["color_history"], state["moment_history"],
                     state["history_length"],
@@ -100,11 +98,8 @@ def make_denoise_fn(cfg, resolution, interpret=None):
                     (w, h), *a, interpret=interp, **l1_kw)
 
             def _far(a):
-                var0, acc, mom, hist = jax.lax.cond(
-                    banded_ok,
-                    lambda aa: back_projection_banded(
-                        (w, h), *aa, margin=BAND_MARGIN),
-                    lambda aa: back_projection_window((w, h), *aa), a)
+                var0, acc, mom, hist = back_projection_banded(
+                    (w, h), *a, margin=BAND_MARGIN)
                 dst1, var1 = atrous_level_pallas(
                     acc, var0, static_planes, static_halo, (h, w), 1,
                     is_last=False, add_color=False, interpret=interp,
@@ -173,7 +168,8 @@ def make_denoise_fn(cfg, resolution, interpret=None):
                 interp = (_pallas_interpret() if interp_override is None
                           else interp_override)
                 static_planes, static_halo = pack_static_planes(
-                    gbuffer, max_level=cfg.atrous_nlevel)
+                    gbuffer, max_level=cfg.atrous_nlevel,
+                    with_albedo=bool(cfg.sep_color and cfg.add_color))
             src = color_history
             var = variance
             output = src

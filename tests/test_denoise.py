@@ -359,3 +359,84 @@ def test_backprojection_banded_parity():
     for x, y, name in zip(a, b, ["var", "color", "moment", "hist"]):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
                                       err_msg=name)
+
+
+def _motion_args(h, w, dy, dx, seed=13):
+    """Reprojection test inputs with prescribed per-pixel displacement
+    (dy, dx) in pixels (same construction as the banded parity test)."""
+    rng = np.random.default_rng(seed)
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    px = xs + 0.5 + dx
+    py = ys + 0.5 + dy
+    z = -np.ones_like(px, np.float32)
+    vx = -((px + 0.5) / w - 0.5) * 2.0
+    vy = -((py + 0.5) / h - 0.5) * 2.0
+    vm = np.eye(4, dtype=np.float32)
+    vm[2, 2] = -1.0
+    gb_c = {
+        "position": jnp.asarray(np.stack([vx, vy, z], -1).astype(np.float32)),
+        "normal": jnp.asarray(rng.normal(size=(h, w, 3)).astype(np.float32)),
+        "geom_id": jnp.asarray(rng.integers(-1, 3, size=(h, w)).astype(np.int32)),
+    }
+    gb_p = {
+        "position": gb_c["position"],
+        "normal": jnp.asarray(np.asarray(gb_c["normal"])
+                              + 0.01 * rng.normal(size=(h, w, 3)).astype(np.float32)),
+        "geom_id": jnp.asarray(rng.integers(-1, 3, size=(h, w)).astype(np.int32)),
+    }
+    color = jnp.asarray(rng.uniform(size=(h, w, 3)).astype(np.float32))
+    ch = jnp.asarray(rng.uniform(size=(h, w, 3)).astype(np.float32))
+    mh = jnp.asarray(rng.uniform(size=(h, w, 2)).astype(np.float32))
+    hl = jnp.asarray(rng.integers(0, 6, size=(h, w)).astype(np.int32))
+    return ((w, h), color, gb_c, gb_p, jnp.asarray(vm), ch, mh, hl,
+            jnp.float32(0.2), jnp.float32(0.2))
+
+
+def test_backprojection_banded_fast_pan_exact():
+    """Per-band shifts must make the banded path BIT-exact vs
+    back_projection_window for motion FAR beyond the static margin —
+    here a ~40 px/frame pan (2.5x margin) with +-8 px local scatter —
+    so back_projection_auto needs no packed-window fallback branch (and
+    its ~750 MB 1080p table never enters the animated program)."""
+    from ptdn_tpu.denoise.reproject import (back_projection_auto,
+                                            back_projection_banded,
+                                            back_projection_window)
+
+    rng = np.random.default_rng(17)
+    h, w = 70, 48
+    dy = (40.0 + rng.uniform(-8, 8, size=(h, w))).astype(np.float32)
+    dx = (-25.0 + rng.uniform(-30, 30, size=(h, w))).astype(np.float32)
+    args = _motion_args(h, w, dy, dx)
+    a = back_projection_window(*args)
+    b = back_projection_banded(*args, band_rows=32, margin=16)
+    for x, y, name in zip(a, b, ["var", "color", "moment", "hist"]):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=name)
+    c = back_projection_auto(*args)
+    for x, y, name in zip(a, c, ["var", "color", "moment", "hist"]):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=name)
+
+
+def test_backprojection_banded_residual_overflow_rejects():
+    """A pixel whose vertical flow deviates from its band's mean by more
+    than the slab tolerance must have its history REJECTED (restart:
+    hist=1, variance=100), never silently read a clamped row."""
+    from ptdn_tpu.denoise.reproject import back_projection_banded
+
+    h, w = 64, 48
+    dy = np.zeros((h, w), np.float32)
+    dy[5, 7] = 30.0          # lone outlier vs band mean ~0
+    dx = np.zeros((h, w), np.float32)
+    args = _motion_args(h, w, dy, dx, seed=19)
+    # force the outlier pixel to valid geometry so rejection can only
+    # come from the slab bound
+    gb_c = dict(args[2])
+    geom = np.asarray(gb_c["geom_id"]).copy()
+    geom[5, 7] = 1
+    gb_c["geom_id"] = jnp.asarray(geom)
+    args = (args[0], args[1], gb_c) + args[3:]
+    var, color, mom, hist = back_projection_banded(
+        *args, band_rows=32, margin=16)
+    assert int(np.asarray(hist)[5, 7]) == 1
+    assert float(np.asarray(var)[5, 7]) == 100.0
