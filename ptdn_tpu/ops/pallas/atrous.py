@@ -44,17 +44,27 @@ def _halo(level: int) -> int:
 # 100 MB vmem_limit; leave room for outputs + compiler temporaries)
 _VMEM_SCRATCH_CAP = 56 * 1024 * 1024
 
+# Hard cap on output rows per strip: the kernel body keeps ~100
+# (strip, wp)-sized f32 temporaries live across the 25-tap loop, which
+# the register allocator spills to VMEM at ~0.36 MB per strip row
+# (measured: strip=800 on an 800x896 image compiled to 289 MB of spill
+# slots and OOMed the 128 MB VMEM at compile). The DMA-overlap saving
+# this sizing chases is already mostly banked by 128 rows (level-5
+# halo 72: 2.25x payload at STRIP=64 -> 1.13x at 128).
+_MAX_STRIP = 128
+
 
 def _pick_strip(h: int, wp: int, halo: int, n_planes: int) -> int:
     """Output rows per grid step for this (image, level): each strip
     re-DMAs its 2*halo overlap, so taller strips cut total HBM traffic
     (level 5's halo is 72 rows — at STRIP=64 that is 3.25x the payload),
-    bounded by the VMEM scratch budget and the padding waste of the last
-    strip. Minimizes DMA'd rows + padded compute rows."""
+    bounded by the VMEM scratch budget, the register-spill cap
+    (_MAX_STRIP), and the padding waste of the last strip. Minimizes
+    DMA'd rows + padded compute rows."""
     per_row = n_planes * wp * 4
     best_s, best_cost = STRIP, None
     s = STRIP
-    while s <= -(-h // 8) * 8:
+    while s <= min(_MAX_STRIP, -(-h // 8) * 8):
         if (s + 2 * halo) * per_row <= _VMEM_SCRATCH_CAP:
             nstrips = -(-h // s)
             cost = nstrips * (s + 2 * halo) + (nstrips * s - h)
