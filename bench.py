@@ -80,14 +80,20 @@ def main():
         extras = {}
         # engine flags (fuse_bounce/fuse_path/sort_rays) auto-select from
         # scene statics inside make_trace_fn — no per-scene tuning here
-        for name, res in [
-            ("diamond", None),
-            ("bunny", None),
-            ("room", None),
+        import os
+        repo_scenes = os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "scenes")
+        for path, res in [
+            (f"{args.scenes_dir}/diamond.txt", None),
+            (f"{args.scenes_dir}/bunny.txt", None),
+            (f"{args.scenes_dir}/room.txt", None),
+            # ~30k-tri scale benchmark (the reference demonstrated a
+            # 30k-tri room as real-time, slides/MS3.pdf p.6)
+            (os.path.join(repo_scenes, "terrain30k.txt"), None),
         ]:
+            name = os.path.splitext(os.path.basename(path))[0]
             c = RenderConfig(trace_depth=8, **svgf)
-            m, _ = run_config(f"{args.scenes_dir}/{name}.txt", res,
-                              args.frames, args.warmup, c)
+            m, _ = run_config(path, res, args.frames, args.warmup, c)
             extras[name] = round(m, 3)
         # room.txt, animated camera, 1080p: full temporal reprojection loop
         c = RenderConfig(trace_depth=8, automate_camera=True,

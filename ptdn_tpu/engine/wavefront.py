@@ -515,44 +515,74 @@ def first_chunk_plane(ds, ox_, oy_, oz_, dx_, dy_, dz_, n_chunks_static):
 
 def chunk_range_planes(ds, ox_, oy_, oz_, dx_, dy_, dz_, n_chunks_static,
                        t_limit=None):
-    """Per-lane [min, max] chunk ID among ALL chunk AABBs the ray crosses
-    (unbounded t-window, so a superset of any later window) — (n_chunks,
-    -1) for rays crossing none. The trace kernels scan only the tile's
-    union range [min(lo), max(hi)] instead of every chunk: a chunk
-    outside a lane's crossed set can never produce a hit for it, so a
-    chunk outside the union produces none for the whole tile (exactness;
-    the in-kernel per-lane window culls stay as-is). Chunks are
-    BVH-leaf-DFS ordered, so crossed IDs of a coherent ray cluster into
-    a short range; with lanes sorted by this pair the per-tile union
-    stays a handful of chunks (measured: the 39-chunk bunny scan drops
-    to ~2-4 trips)."""
+    """Per-lane [min, max] chunk ID bounding ALL chunk AABBs the ray
+    crosses (unbounded t-window, so a superset of any later window) —
+    (n_chunks, -1) for rays crossing none. The trace kernels scan only
+    the tile's union range [min(lo), max(hi)] instead of every chunk: a
+    chunk outside a lane's crossed set can never produce a hit for it,
+    so a chunk outside the union produces none for the whole tile
+    (exactness; the in-kernel per-lane window culls stay as-is). Chunks
+    are BVH-leaf-DFS ordered, so crossed IDs of a coherent ray cluster
+    into a short range; with lanes sorted by this pair the per-tile
+    union stays a handful of chunks (measured: the 39-chunk bunny scan
+    drops to ~2-4 trips).
+
+    Past 64 chunks the per-chunk test runs at SUPERGROUP granularity
+    instead (AABBs of 8 consecutive chunks, rounded to [slo*8,
+    shi*8+7]): crossed(chunk) implies crossed(its supergroup), so the
+    returned range is still an exact superset, while both the unrolled
+    XLA graph (233 chunks x 2 calls x 8 bounces wedged the terrain30k
+    compile) and the per-frame slab work drop 8x."""
     inx = 1.0 / dx_
     iny = 1.0 / dy_
     inz = 1.0 / dz_
-    lo = jnp.full(ox_.shape, n_chunks_static, jnp.int32)
-    hi = jnp.full(ox_.shape, -1, jnp.int32)
     cmin = ds.tri_chunk_min
     cmax = ds.tri_chunk_max
-    for c in range(n_chunks_static):
-        t0x = (cmin[c, 0] - ox_) * inx
-        t1x = (cmax[c, 0] - ox_) * inx
-        t0y = (cmin[c, 1] - oy_) * iny
-        t1y = (cmax[c, 1] - oy_) * iny
-        t0z = (cmin[c, 2] - oz_) * inz
-        t1z = (cmax[c, 2] - oz_) * inz
-        tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                       jnp.minimum(t0y, t1y)),
-                           jnp.minimum(t0z, t1z))
-        tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                       jnp.maximum(t0y, t1y)),
-                           jnp.maximum(t0z, t1z))
-        crossed = (tmax >= 0.0) & (tmin <= tmax)
-        if t_limit is not None:
-            # a chunk entered beyond t_limit can't matter (shadow rays:
-            # occlusion needs t < distance-to-light-sample <= t_limit)
-            crossed = crossed & (tmin <= t_limit)
-        lo = jnp.where(crossed & (lo == n_chunks_static), c, lo)
-        hi = jnp.where(crossed, c, hi)
+
+    def slab_ranges(bmin, bmax, count, sentinel):
+        lo = jnp.full(ox_.shape, sentinel, jnp.int32)
+        hi = jnp.full(ox_.shape, -1, jnp.int32)
+        for c in range(count):
+            t0x = (bmin[c, 0] - ox_) * inx
+            t1x = (bmax[c, 0] - ox_) * inx
+            t0y = (bmin[c, 1] - oy_) * iny
+            t1y = (bmax[c, 1] - oy_) * iny
+            t0z = (bmin[c, 2] - oz_) * inz
+            t1z = (bmax[c, 2] - oz_) * inz
+            tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                           jnp.minimum(t0y, t1y)),
+                               jnp.minimum(t0z, t1z))
+            tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                           jnp.maximum(t0y, t1y)),
+                               jnp.maximum(t0z, t1z))
+            crossed = (tmax >= 0.0) & (tmin <= tmax)
+            if t_limit is not None:
+                # a box entered beyond t_limit can't matter (shadow
+                # rays: occlusion needs t < distance-to-light-sample
+                # <= t_limit)
+                crossed = crossed & (tmin <= t_limit)
+            lo = jnp.where(crossed & (lo == sentinel), c, lo)
+            hi = jnp.where(crossed, c, hi)
+        return lo, hi
+
+    if n_chunks_static <= 64:
+        return slab_ranges(cmin, cmax, n_chunks_static, n_chunks_static)
+
+    G = 8
+    n_super = -(-n_chunks_static // G)
+    cm = cmin[:n_chunks_static]
+    cM = cmax[:n_chunks_static]
+    pad = n_super * G - n_chunks_static
+    if pad:
+        # empty AABBs (min > max) cross nothing
+        cm = jnp.concatenate([cm, jnp.full((pad, 3), jnp.inf)], axis=0)
+        cM = jnp.concatenate([cM, jnp.full((pad, 3), -jnp.inf)], axis=0)
+    smin = cm.reshape(n_super, G, 3).min(axis=1)
+    smax = cM.reshape(n_super, G, 3).max(axis=1)
+    slo, shi = slab_ranges(smin, smax, n_super, n_super)
+    lo = jnp.minimum(slo * G, n_chunks_static)
+    hi = jnp.where(shi < 0, -1,
+                   jnp.minimum(shi * G + (G - 1), n_chunks_static - 1))
     return lo, hi
 
 

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ptdn_tpu.ops.pallas.scene_intersect import (closest_hit_tiles,
+from ptdn_tpu.ops.pallas.scene_intersect import (chunk_aabb_ops,
+                                                 closest_hit_tiles,
                                                  light_visibility_tiles)
 from ptdn_tpu.ops.pallas.shade import (_IN_KEYS, _fd2, lane_seed, pix_seed,
                                        shade_tiles)
@@ -142,7 +143,7 @@ def bounce_fused_pallas(planes_in, params_vec, frame_plus_depth, ds,
     do_next, pad). Returns (N_BOUT, NB, 128) f32."""
     nb = planes_in.shape[1]
     has_pix = planes_in.shape[0] == N_BIN + 1
-    n_chunks = int(ds.tri_chunk_min.shape[0]) // 5 if n_tris else 0
+    cmin_op, cmax_op, n_chunks = chunk_aabb_ops(ds, n_tris)
     kern = functools.partial(
         _kernel, mats=mats, shadow_ray=shadow_ray, reduce_var=reduce_var,
         geom_types=tuple(geom_types), geom_mats=tuple(geom_mats),
@@ -170,7 +171,7 @@ def bounce_fused_pallas(planes_in, params_vec, frame_plus_depth, ds,
     )(planes_in, params_vec.reshape(1, 8), _fd2(frame_plus_depth),
       ds.geom_transform, ds.geom_inverse, ds.geom_inv_transpose,
       ds.geom_bb_min, ds.geom_bb_max, ds.tri_moller,
-      ds.tri_chunk_min, ds.tri_chunk_max, ds.tri_attr_t)
+      cmin_op, cmax_op, ds.tri_attr_t)
     return out
 
 
@@ -309,7 +310,7 @@ def trace_bounce_pallas(planes_in, params_vec, ds,
     nb = planes_in.shape[1]
     has_fc = planes_in.shape[0] == SH_N_OUT + 4
     n_in = planes_in.shape[0]
-    n_chunks = int(ds.tri_chunk_min.shape[0]) // 5 if n_tris else 0
+    cmin_op, cmax_op, n_chunks = chunk_aabb_ops(ds, n_tris)
     atlas_hw = (int(ds.tex_atlas.shape[1]), int(ds.tex_atlas.shape[2]))
     kern = functools.partial(
         _trace_kernel, geom_types=tuple(geom_types),
@@ -344,7 +345,7 @@ def trace_bounce_pallas(planes_in, params_vec, ds,
     )(planes_in, params_vec.reshape(1, 8),
       ds.geom_transform, ds.geom_inverse, ds.geom_inv_transpose,
       ds.geom_bb_min, ds.geom_bb_max, ds.tri_moller,
-      ds.tri_chunk_min, ds.tri_chunk_max, ds.tri_attr_t)
+      cmin_op, cmax_op, ds.tri_attr_t)
     if emit_tex:
         return outs[0], tuple(outs[1:])
     return outs, None

@@ -52,7 +52,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ptdn_tpu.ops.pallas.compact import (tile_gather_compact, tile_route,
                                          tile_uncompact)
-from ptdn_tpu.ops.pallas.scene_intersect import (closest_hit_tiles,
+from ptdn_tpu.ops.pallas.scene_intersect import (chunk_aabb_ops,
+                                                 closest_hit_tiles,
                                                  light_visibility_tiles,
                                                  tex_index_tiles)
 from ptdn_tpu.ops.pallas.shade import _select_mat, lane_seed, shade_tiles
@@ -268,7 +269,7 @@ def path_trace_fused_pallas(planes_in, params_vec, frame_lane0, ds,
              and `slot` each lane's position in that packing (-1 if
              untextured)."""
     nb = planes_in.shape[1]
-    n_chunks = int(ds.tri_chunk_min.shape[0]) // 5 if n_tris else 0
+    cmin_op, cmax_op, n_chunks = chunk_aabb_ops(ds, n_tris)
     atlas_hw = (int(ds.tex_atlas.shape[1]), int(ds.tex_atlas.shape[2]))
     emit_tex = emit_tex and depth > 1
     rows = block_rows(n_chunks)
@@ -313,7 +314,7 @@ def path_trace_fused_pallas(planes_in, params_vec, frame_lane0, ds,
       frame_lane0.reshape(1, 2),
       ds.geom_transform, ds.geom_inverse, ds.geom_inv_transpose,
       ds.geom_bb_min, ds.geom_bb_max, ds.tri_moller,
-      ds.tri_chunk_min, ds.tri_chunk_max, ds.tri_attr_t)
+      cmin_op, cmax_op, ds.tri_attr_t)
     if emit_tex:
         return outs[0], tuple(outs[1:])
     return (outs if not isinstance(outs, (list, tuple)) else outs[0]), None

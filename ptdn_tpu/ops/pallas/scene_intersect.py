@@ -47,6 +47,22 @@ TCHUNK = 128
 TGROUP = 8
 
 
+def chunk_aabb_ops(ds, n_tris):
+    """Chunk-AABB kernel operands + chunk count. The (5C, 3) device
+    table carries 4 sub-chunk AABBs per chunk after row C; with
+    sub-chunk culling off (the default) kernels only read rows [0, C),
+    and SMEM operand windows are padded heavily (~0.5 KB per row:
+    terrain30k's 233-chunk full table cost 2 x 584 K of the 1 M SMEM
+    budget and OOMed the compile) — so pass only the rows actually
+    read."""
+    n_chunks = int(ds.tri_chunk_min.shape[0]) // 5 if n_tris else 0
+    cmin, cmax = ds.tri_chunk_min, ds.tri_chunk_max
+    if SUBCHUNK != "tile" and n_chunks:
+        cmin = jax.lax.slice(cmin, (0, 0), (n_chunks, 3))
+        cmax = jax.lax.slice(cmax, (0, 0), (n_chunks, 3))
+    return cmin, cmax, n_chunks
+
+
 def _sub_chunk_any(cmin_r, cmax_r, n_chunks, c, s, ox, oy, oz,
                    ix, iy, iz, twin=None):
     """Does ANY lane of the tile cross chunk c's s-th 32-tri sub-chunk
@@ -295,7 +311,7 @@ def light_visibility_pallas(ds, geom_types, o, d, n_tris: int,
     comps = [o[:, 0].reshape(nb, 128), o[:, 1].reshape(nb, 128),
              o[:, 2].reshape(nb, 128), d[:, 0].reshape(nb, 128),
              d[:, 1].reshape(nb, 128), d[:, 2].reshape(nb, 128)]
-    n_chunks = int(ds.tri_chunk_min.shape[0]) // 5 if n_tris else 0
+    cmin_op, cmax_op, n_chunks = chunk_aabb_ops(ds, n_tris)
     kern = functools.partial(_vis_kernel, geom_types=tuple(geom_types),
                              n_tris=n_tris, n_chunks=n_chunks,
                              light_geom=light_geom)
@@ -312,7 +328,7 @@ def light_visibility_pallas(ds, geom_types, o, d, n_tris: int,
         interpret=interpret,
     )(*comps, ds.geom_transform, ds.geom_inverse, ds.geom_inv_transpose,
       ds.geom_bb_min, ds.geom_bb_max,
-      ds.tri_moller, ds.tri_chunk_min, ds.tri_chunk_max)
+      ds.tri_moller, cmin_op, cmax_op)
     return out.reshape(npad)[:n] > 0.5
 
 
@@ -1037,7 +1053,7 @@ def scene_intersect_full_tex_pallas(ds, geom_types, geom_mats, o, d,
     comps = [o[:, 0].reshape(nb, 128), o[:, 1].reshape(nb, 128),
              o[:, 2].reshape(nb, 128), d[:, 0].reshape(nb, 128),
              d[:, 1].reshape(nb, 128), d[:, 2].reshape(nb, 128)]
-    n_chunks = int(ds.tri_chunk_min.shape[0]) // 5 if n_tris else 0
+    cmin_op, cmax_op, n_chunks = chunk_aabb_ops(ds, n_tris)
     atlas_hw = (int(ds.tex_atlas.shape[1]), int(ds.tex_atlas.shape[2]))
     kern = functools.partial(
         _kernel_full_tex, geom_types=tuple(geom_types),
@@ -1058,7 +1074,7 @@ def scene_intersect_full_tex_pallas(ds, geom_types, geom_mats, o, d,
         interpret=interpret,
     )(*comps, ds.geom_transform, ds.geom_inverse, ds.geom_inv_transpose,
       ds.geom_bb_min, ds.geom_bb_max,
-      ds.tri_moller, ds.tri_chunk_min, ds.tri_chunk_max, ds.tri_attr_t)
+      ds.tri_moller, cmin_op, cmax_op, ds.tri_attr_t)
     t, geom, nx, ny, nz, uu, vv, mat = [x.reshape(n) for x in outs[:8]]
     geom_i = geom.astype(jnp.int32)
     isect = {
@@ -1088,7 +1104,7 @@ def scene_intersect_full_pallas(ds, geom_types, geom_mats, o, d,
     comps = [o[:, 0].reshape(nb, 128), o[:, 1].reshape(nb, 128),
              o[:, 2].reshape(nb, 128), d[:, 0].reshape(nb, 128),
              d[:, 1].reshape(nb, 128), d[:, 2].reshape(nb, 128)]
-    n_chunks = int(ds.tri_chunk_min.shape[0]) // 5 if n_tris else 0
+    cmin_op, cmax_op, n_chunks = chunk_aabb_ops(ds, n_tris)
     kern = functools.partial(_kernel_full, geom_types=tuple(geom_types),
                              geom_mats=tuple(geom_mats), n_tris=n_tris,
                              n_chunks=n_chunks, cull=cull, compat=compat)
@@ -1105,7 +1121,7 @@ def scene_intersect_full_pallas(ds, geom_types, geom_mats, o, d,
         interpret=interpret,
     )(*comps, ds.geom_transform, ds.geom_inverse, ds.geom_inv_transpose,
       ds.geom_bb_min, ds.geom_bb_max,
-      ds.tri_moller, ds.tri_chunk_min, ds.tri_chunk_max, ds.tri_attr_t)
+      ds.tri_moller, cmin_op, cmax_op, ds.tri_attr_t)
     t, geom, nx, ny, nz, uu, vv, mat = [x.reshape(npad)[:n] for x in outs]
     geom_i = geom.astype(jnp.int32)
     hit = geom_i >= 0
@@ -1138,7 +1154,7 @@ def scene_intersect_pallas(ds, geom_types, o, d, n_tris: int,
              o[:, 2].reshape(nb, 128), d[:, 0].reshape(nb, 128),
              d[:, 1].reshape(nb, 128), d[:, 2].reshape(nb, 128)]
 
-    n_chunks = int(ds.tri_chunk_min.shape[0]) // 5 if n_tris else 0
+    cmin_op, cmax_op, n_chunks = chunk_aabb_ops(ds, n_tris)
     kern = functools.partial(_kernel, geom_types=tuple(geom_types),
                              n_tris=n_tris, n_chunks=n_chunks, cull=cull)
     ray_spec = pl.BlockSpec((RROWS, 128), lambda i: (i, 0),
@@ -1156,7 +1172,7 @@ def scene_intersect_pallas(ds, geom_types, o, d, n_tris: int,
         interpret=interpret,
     )(*comps, ds.geom_transform, ds.geom_inverse, ds.geom_inv_transpose,
       ds.geom_bb_min, ds.geom_bb_max,
-      ds.tri_moller, ds.tri_chunk_min, ds.tri_chunk_max)
+      ds.tri_moller, cmin_op, cmax_op)
 
     ta, ga, nxx, nyy, nzz, tm, im = [x.reshape(npad)[:n] for x in outs]
     return {

@@ -382,3 +382,63 @@ SCALE       40 .2 80
     expected_diff = np.where(hit[:, None], (A * E)[None], 0.0)
     np.testing.assert_allclose(noskip - skip, expected_diff,
                                rtol=3e-5, atol=1e-6)
+
+
+def test_chunk_range_planes_supergroup_superset():
+    """Past 64 chunks chunk_range_planes switches to supergroup-rounded
+    ranges; they must remain an exact SUPERSET of the per-chunk crossed
+    range (exactness contract of the kernel chunk-loop bounds), with
+    the same (n_chunks, -1) none-crossed sentinels."""
+    import types
+
+    from ptdn_tpu.engine import wavefront as WF
+
+    rng = np.random.default_rng(7)
+    n_chunks = 100
+    centers = rng.uniform(-10, 10, (n_chunks, 3)).astype(np.float32)
+    half = rng.uniform(0.2, 1.5, (n_chunks, 3)).astype(np.float32)
+    cmin = centers - half
+    cmax = centers + half
+    ds = types.SimpleNamespace(tri_chunk_min=jnp.asarray(cmin),
+                               tri_chunk_max=jnp.asarray(cmax))
+
+    shape = (2, 128)
+    o = rng.uniform(-12, 12, (3,) + shape).astype(np.float32)
+    d = rng.normal(size=(3,) + shape).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+
+    lo, hi = WF.chunk_range_planes(
+        ds, *(jnp.asarray(x) for x in o), *(jnp.asarray(x) for x in d),
+        n_chunks)
+    lo = np.asarray(lo)
+    hi = np.asarray(hi)
+
+    # brute-force per-chunk crossed range (the <=64-chunk semantics)
+    inv = 1.0 / d
+    t0 = (cmin[:, :, None, None] - o[None]) * inv[None]
+    t1 = (cmax[:, :, None, None] - o[None]) * inv[None]
+    tmin = np.minimum(t0, t1).max(axis=1)
+    tmax = np.maximum(t0, t1).min(axis=1)
+    crossed = (tmax >= 0.0) & (tmin <= tmax)          # (n_chunks,) + shape
+    any_c = crossed.any(axis=0)
+    ids = np.arange(n_chunks)[:, None, None]
+    true_lo = np.where(crossed, ids, n_chunks).min(axis=0)
+    true_hi = np.where(crossed, ids, -1).max(axis=0)
+
+    assert any_c.any() and not any_c.all()            # both cases exercised
+    # superset: [lo, hi] covers [true_lo, true_hi] wherever any crossing
+    assert (lo[any_c] <= true_lo[any_c]).all()
+    assert (hi[any_c] >= true_hi[any_c]).all()
+    # returned bounds are supergroup-aligned (crossing a union box
+    # without crossing member chunks can widen them further — still a
+    # valid superset, the in-kernel per-lane window culls stay exact)
+    assert (lo % 8 == 0).all() or (lo == n_chunks).any()
+    assert ((hi % 8 == 7) | (hi == n_chunks - 1) | (hi == -1)).all()
+    # bounds stay in range; a lane reported empty truly crosses nothing
+    # (the converse doesn't hold: a ray can cross a union box while
+    # missing every member chunk and get a non-empty range)
+    assert (lo >= 0).all() and (hi <= n_chunks - 1).all()
+    empty = hi == -1
+    assert empty.any()
+    assert (lo[empty] == n_chunks).all()
+    assert not any_c[empty].any()
