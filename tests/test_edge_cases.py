@@ -89,6 +89,25 @@ def test_depth_one(analytic_scene):
     assert not np.isnan(np.asarray(left)).any()
 
 
+def test_depth_one_pallas_path_kernel(cornell_scene):
+    """depth=1 through the pallas whole-path kernel (the reference GUI's
+    minimum depth, preview.cpp:258). Regression guard for the round-2
+    depth-1 compile pathology (385 ms/frame vs 16.3 at depth 2 on TPU;
+    re-measured fixed in round 3: 14.0 ms vs 14.8 at depth 2) — the
+    degenerate program must never come back, and at depth 1 the kernel
+    runs with texture emission gated off (path.py emit_tex gate), which
+    this exercises end-to-end."""
+    cfg = RenderConfig(backend="pallas", denoise_enable=True,
+                       temporal_enable=True, spatial_enable=True,
+                       atrous_nlevel=2, trace_depth=1)
+    r = Renderer(cornell_scene, cfg, resolution=(64, 64))
+    left, right = r.render(2)
+    left = np.asarray(left)
+    assert not np.isnan(left).any()
+    assert not np.isnan(np.asarray(right)).any()
+    assert left.max() > 0  # emissive primaries land
+
+
 def test_atrous_zero_levels(analytic_scene):
     """atrous_nlevel=0 skips filtering (denoise.cu:380-383)."""
     cfg = RenderConfig(denoise_enable=True, temporal_enable=True,
