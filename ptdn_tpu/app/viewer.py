@@ -11,7 +11,8 @@ Commands (reference bindings in parentheses):
   [ / ]        orbit theta -/+        (mouse-drag equivalent)
   + / -        dolly in/out           (scroll equivalent)
   w a s d      pan look-at            (arrow keys, main.cpp:233-247)
-  r            reset camera           (R)
+  r            reset look-at to scene LOOKAT (R key, main.cpp:222-226)
+  reset        full resetCamera() (main.cpp:77-101)
   D T F        toggle denoise / temporal / spatial (hotkeys D/T/F)
   v            cycle debug view (color -> history -> variance)
   depth N, sigma_l X, ... set any config field
@@ -26,6 +27,56 @@ from __future__ import annotations
 import sys
 
 import numpy as np
+
+
+# single-key commands dispatched immediately in tty cbreak mode (the
+# reference's GLFW key bindings, main.cpp:211-260)
+_SINGLE_KEYS = set(",.[]+-wasdrDTFvq")
+
+
+def _stdin_poll_factory():
+    """Non-blocking stdin poll for watch mode. Returns (poll, restore).
+
+    On a real tty, the terminal is switched to cbreak so single
+    keypresses (orbit/pan/toggles) act immediately without Enter —
+    matching the reference's key-repeat steering (main.cpp:231-257);
+    multi-word commands (e.g. ``sigma_l 0.7``) are accumulated until
+    Enter. On pipes/files the poll stays line-based."""
+    import select
+
+    if not sys.stdin.isatty():
+        def poll():
+            ready, _, _ = select.select([sys.stdin], [], [], 0.0)
+            return sys.stdin.readline() if ready else None
+
+        return poll, None
+
+    import termios
+    import tty
+
+    fd = sys.stdin.fileno()
+    old = termios.tcgetattr(fd)
+    tty.setcbreak(fd)
+    buf = []
+
+    def poll():
+        ready, _, _ = select.select([sys.stdin], [], [], 0.0)
+        if not ready:
+            return None
+        ch = sys.stdin.read(1)
+        if not buf and ch in _SINGLE_KEYS:
+            return ch
+        if ch in ("\n", "\r"):
+            s = "".join(buf)
+            buf.clear()
+            return s
+        buf.append(ch)
+        return None
+
+    def restore():
+        termios.tcsetattr(fd, termios.TCSADRAIN, old)
+
+    return poll, restore
 
 
 class Viewer:
@@ -89,6 +140,13 @@ class Viewer:
                      "a": -fr.right * 0.5, "d": fr.right * 0.5}[c]
             r.pan(delta)
         elif c == "r":
+            # GLFW_KEY_R resets ONLY lookAt to ogLookAt (main.cpp:222-226)
+            # — zoom/theta/phi keep their steered values
+            r.camera.look_at = r.camera.og_look_at.copy()
+            r.cam_changed = True
+        elif c == "reset":
+            # full resetCamera() (main.cpp:77-101): re-derive
+            # zoom/theta/phi from the scene's EYE/LOOKAT
             r.reset_camera()
         elif c in ("D", "T", "F"):
             field = {"D": "denoise_enable", "T": "temporal_enable",
@@ -141,34 +199,40 @@ class Viewer:
         rebuilding its CUDA state on reset (main.cpp:194-201).
 
         input_poll: callable returning one command string or None
-        (default: select() on stdin). Returns frames rendered."""
+        (default: select() on stdin; on a real tty, cbreak mode so
+        single keypresses steer IMMEDIATELY without Enter — the
+        reference's keys act on press, main.cpp:211-304). Returns
+        frames rendered."""
         import time
 
+        restore = None
         if input_poll is None:
-            import select
-
-            def input_poll():
-                ready, _, _ = select.select([sys.stdin], [], [], 0.0)
-                return sys.stdin.readline() if ready else None
+            input_poll, restore = _stdin_poll_factory()
 
         frames = 0
         t0 = time.time()
         last_report = t0
         left = right = None
-        while max_frames is None or frames < max_frames:
-            cmd = input_poll()
-            if cmd is not None and not self.handle_nodraw(cmd):
-                break
-            left, right = self.r.render_frame()
-            frames += 1
-            if frames % show_every == 0:
-                self._show(np.asarray(left), np.asarray(right))
-            now = time.time()
-            if report and now - last_report >= 2.0:
-                print(f"watch: {frames} frames, "
-                      f"{frames / (now - t0):.1f} fps "
-                      f"(frame {self.r.frame})", file=sys.stderr)
-                last_report = now
+        try:
+            while max_frames is None or frames < max_frames:
+                cmd = input_poll()
+                if cmd is not None and not self.handle_nodraw(cmd):
+                    break
+                left, right = self.r.render_frame()
+                frames += 1
+                if frames % show_every == 0:
+                    self._show(np.asarray(left), np.asarray(right))
+                now = time.time()
+                if report and now - last_report >= 2.0:
+                    # the reference's window-title frame counter
+                    # (preview.cpp:388), as a periodic status line
+                    print(f"watch: {frames} frames, "
+                          f"{frames / (now - t0):.1f} fps "
+                          f"(frame {self.r.frame})", file=sys.stderr)
+                    last_report = now
+        finally:
+            if restore is not None:
+                restore()
         if left is not None:
             self._show(np.asarray(left), np.asarray(right))
         return frames

@@ -91,12 +91,13 @@ def test_depth_one(analytic_scene):
 
 def test_depth_one_pallas_path_kernel(cornell_scene):
     """depth=1 through the pallas whole-path kernel (the reference GUI's
-    minimum depth, preview.cpp:258). Regression guard for the round-2
-    depth-1 compile pathology (385 ms/frame vs 16.3 at depth 2 on TPU;
-    re-measured fixed in round 3: 14.0 ms vs 14.8 at depth 2) — the
-    degenerate program must never come back, and at depth 1 the kernel
-    runs with texture emission gated off (path.py emit_tex gate), which
-    this exercises end-to-end."""
+    minimum depth, preview.cpp:258). Guards the depth-1 pallas code path
+    FUNCTIONALLY (interpret mode on CPU): at depth 1 the kernel runs
+    with texture emission gated off (path.py emit_tex gate), which this
+    exercises end-to-end. Context: round 2 had a depth-1 TPU compile
+    pathology (385 ms/frame vs 16.3 at depth 2; re-measured fixed in
+    round 3: 14.0 vs 14.8 ms) — a recurrence of that PERF regression can
+    only be caught by TPU wall-time measurement, not by this test."""
     cfg = RenderConfig(backend="pallas", denoise_enable=True,
                        temporal_enable=True, spatial_enable=True,
                        atrous_nlevel=2, trace_depth=1)

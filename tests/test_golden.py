@@ -41,12 +41,16 @@ CONFIGS = {
     "cornell_svgf_d3": dict(_SVGF),
     "diamond_raw_d4": dict(denoise_enable=False, trace_depth=4),
     "room_svgf_d3": dict(_SVGF),
+    # the pure BVH-mesh scene (reference scenes/bunny.txt, 4968 tris
+    # through the chunked mesh path) — all four reference scenes covered
+    "bunny_svgf_d3": dict(_SVGF),
 }
 SCENES = {
     "cornell_raw_d3": "cornell",
     "cornell_svgf_d3": "cornell",
     "diamond_raw_d4": "diamond",
     "room_svgf_d3": "room",
+    "bunny_svgf_d3": "bunny",
 }
 
 # pallas-golden-only configs: animated cameras (reprojection with real
@@ -118,6 +122,7 @@ FRAC_BUDGET = {
     "diamond_raw_d4": 0.01,
     "cornell_svgf_d3": 0.06,
     "room_svgf_d3": 0.16,
+    "bunny_svgf_d3": 0.16,
 }
 
 

@@ -53,10 +53,34 @@ def test_camera_commands(viewer_factory):
     # w/s and a/d cancel pairwise
     np.testing.assert_allclose(np.asarray(r.camera.look_at), la0,
                                atol=1e-5)
+    # 'r' = GLFW_KEY_R: resets ONLY lookAt to ogLookAt (main.cpp:222-226),
+    # steered phi is kept
     v.handle(".")
+    v.handle("w")
     assert v.handle("r")
-    assert r.camera.phi == pytest.approx(phi0)
+    assert r.camera.phi == pytest.approx(phi0 + 0.1)
+    np.testing.assert_allclose(np.asarray(r.camera.look_at), la0, atol=1e-6)
     assert r.cam_changed
+    # 'reset' = full resetCamera() (main.cpp:77-101): phi re-derived
+    assert v.handle("reset")
+    assert r.camera.phi == pytest.approx(phi0)
+
+
+def test_stdin_poll_factory_line_mode(monkeypatch, tmp_path):
+    """Non-tty stdin (pipe/file): poll stays line-based and returns one
+    command per ready line — the mode every scripted/CI session uses."""
+    import sys as _sys
+
+    from ptdn_tpu.app.viewer import _stdin_poll_factory
+
+    p = tmp_path / "cmds.txt"
+    p.write_text("sigma_l 0.7\n.\n")
+    with open(p) as fh:
+        monkeypatch.setattr(_sys, "stdin", fh)
+        poll, restore = _stdin_poll_factory()
+        assert restore is None  # nothing to undo in line mode
+        assert poll() == "sigma_l 0.7\n"
+        assert poll() == ".\n"
 
 
 def test_toggles_and_debug_view(viewer_factory):
