@@ -3,22 +3,34 @@
 Headline (BASELINE.json): cornell.txt 800x800, 1 spp, 8 bounces, static
 camera, 5-iteration à-trous SVGF, on one TPU chip. vs_baseline is
 ms_per_frame / 16.0 (the driver-set north-star budget): < 1.0 beats it.
+NB: vs_baseline is a BUDGET ratio (the reference publishes no numbers,
+BASELINE.md), not a measured-reference comparison.
 
-Extra configs (diamond/bunny/room/room-1080p-animated) run with
---all and are written to bench_results.json; the single stdout JSON line
-stays the headline metric.
+Extra configs (diamond/bunny/room/terrain30k/room-1080p-animated) run
+with --all and are written to bench_results.json; the single stdout JSON
+line stays the headline metric.
+
+--quality additionally reports denoised RMSE vs a converged ground
+truth per static config (the BASELINE.json metric: 5000-frame
+accumulated reference, reference pathtrace.cu:398 running-mean mode).
+GT images are cached in benchmarks/gt/*.npz and rendered once on first
+use. --stages emits an ablation-derived per-stage ms decomposition
+(trace / temporal / à-trous / texture / NEE) per config.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 TARGET_MS = 16.0
+REPO = os.path.dirname(os.path.abspath(__file__))
+GT_DIR = os.path.join(REPO, "benchmarks", "gt")
 
 
 def run_config(scene_path, resolution, frames, warmup, cfg, automate=False):
@@ -50,12 +62,110 @@ def run_config(scene_path, resolution, frames, warmup, cfg, automate=False):
     return dt * 1000.0, np.asarray(right)
 
 
+def rays_per_sec(resolution, depth, ms):
+    """Bounce rays only (primary + depth-1 scatters), excluding NEE
+    visibility rays — the conservative throughput figure."""
+    w, h = resolution
+    return w * h * depth * 1000.0 / ms if ms else 0.0
+
+
+def _gt_path(name, resolution, depth):
+    return os.path.join(GT_DIR, f"{name}_{resolution[0]}x{resolution[1]}"
+                                f"_d{depth}.npz")
+
+
+def ground_truth(scene_path, name, resolution, depth, gt_frames):
+    """Converged accumulated reference (cached). Rendered with the
+    pallas backend, denoise off — the reference's running-mean converged
+    mode (pathtrace.cu:398)."""
+    path = _gt_path(name, resolution, depth)
+    if os.path.exists(path):
+        return np.load(path)["gt"]
+    from ptdn_tpu.engine import Renderer
+    from ptdn_tpu.scene import Scene
+    from ptdn_tpu.utils.config import RenderConfig
+
+    print(f"[bench] rendering GT for {name} ({gt_frames} frames)...",
+          file=sys.stderr, flush=True)
+    cfg = RenderConfig(backend="pallas", denoise_enable=False,
+                       trace_depth=depth)
+    r = Renderer(Scene(scene_path), cfg, resolution=resolution)
+    left, _ = r.render(gt_frames)
+    gt = np.asarray(left, np.float32)
+    os.makedirs(GT_DIR, exist_ok=True)
+    np.savez_compressed(path, gt=gt, gt_frames=gt_frames)
+    return gt
+
+
+def quality_rmse(scene_path, name, resolution, depth, cfg, gt_frames,
+                 svgf_frames=32):
+    """BASELINE.json metric: denoised RMSE vs converged GT after
+    svgf_frames 1-spp SVGF frames (temporal history warmed up)."""
+    from ptdn_tpu.engine import Renderer
+    from ptdn_tpu.scene import Scene
+
+    gt = np.clip(ground_truth(scene_path, name, resolution, depth,
+                              gt_frames), 0, 1)
+    r = Renderer(Scene(scene_path), cfg, resolution=resolution)
+    left, right = r.render(svgf_frames)
+    raw = np.clip(np.asarray(left), 0, 1)
+    dn = np.clip(np.asarray(right), 0, 1)
+    e_raw = float(np.sqrt(np.mean((raw.astype(np.float64) - gt) ** 2)))
+    e_dn = float(np.sqrt(np.mean((dn.astype(np.float64) - gt) ** 2)))
+    return {"rmse_denoised": round(e_dn, 5), "rmse_raw_1spp": round(e_raw, 5),
+            "gt_frames": gt_frames, "svgf_frames": svgf_frames}
+
+
+def stage_breakdown(scene_path, resolution, frames, warmup, base_cfg):
+    """Ablation-derived per-stage decomposition: each stage's cost is
+    full-config ms minus the ms with that stage disabled (so overlaps
+    land in 'other'). Matches the manual PERF_NOTES methodology."""
+    full, _ = run_config(scene_path, resolution, frames, warmup, base_cfg)
+    trace_only, _ = run_config(scene_path, resolution, frames, warmup,
+                               base_cfg.replace(denoise_enable=False))
+    no_temporal, _ = run_config(scene_path, resolution, frames, warmup,
+                                base_cfg.replace(temporal_enable=False))
+    no_atrous, _ = run_config(scene_path, resolution, frames, warmup,
+                              base_cfg.replace(atrous_nlevel=0))
+    no_nee, _ = run_config(scene_path, resolution, frames, warmup,
+                           base_cfg.replace(shadow_ray=False))
+    d = {
+        "full": round(full, 3),
+        "trace": round(trace_only, 3),
+        "temporal": round(max(full - no_temporal, 0.0), 3),
+        "atrous": round(max(full - no_atrous, 0.0), 3),
+        "nee_visibility": round(max(full - no_nee, 0.0), 3),
+    }
+    d["denoise_glue"] = round(
+        max(full - trace_only - d["temporal"] - d["atrous"], 0.0), 3)
+    return d
+
+
+# (scene file, name, resolution override) for the BASELINE.json configs;
+# resolution None = the scene file's RES
+def bench_configs(scenes_dir):
+    repo_scenes = os.path.join(REPO, "scenes")
+    return [
+        (f"{scenes_dir}/diamond.txt", "diamond", None),
+        (f"{scenes_dir}/bunny.txt", "bunny", None),
+        (f"{scenes_dir}/room.txt", "room", None),
+        # ~30k-tri scale benchmark (the reference demonstrated a
+        # 30k-tri room as real-time, slides/MS3.pdf p.6)
+        (os.path.join(repo_scenes, "terrain30k.txt"), "terrain30k", None),
+    ]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--all", action="store_true",
                     help="also run the non-headline BASELINE.json configs")
+    ap.add_argument("--quality", action="store_true",
+                    help="also report denoised RMSE vs cached converged GT")
+    ap.add_argument("--stages", action="store_true",
+                    help="also emit per-stage ms decomposition per config")
+    ap.add_argument("--gt-frames", type=int, default=5000)
     ap.add_argument("--scenes-dir", default="/root/reference/scenes")
     args = ap.parse_args()
 
@@ -66,8 +176,8 @@ def main():
 
     # headline: cornell 800x800 1spp 8 bounces + 5-iter SVGF
     cfg = RenderConfig(trace_depth=8, **svgf)
-    ms, _ = run_config(f"{args.scenes_dir}/cornell.txt", (800, 800),
-                       args.frames, args.warmup, cfg)
+    cornell = f"{args.scenes_dir}/cornell.txt"
+    ms, _ = run_config(cornell, (800, 800), args.frames, args.warmup, cfg)
 
     result = {
         "metric": "ms/frame (cornell 800x800, 1spp, depth 8, SVGF 5-level)",
@@ -76,36 +186,60 @@ def main():
         "vs_baseline": round(ms / TARGET_MS, 4),
     }
 
+    out = {"headline": result}
+    quality = {}
+    stages = {}
+    rays = {"cornell": round(rays_per_sec((800, 800), 8, ms) / 1e6, 1)}
+
+    if args.quality:
+        quality["cornell"] = quality_rmse(cornell, "cornell", (800, 800), 8,
+                                          cfg, args.gt_frames)
+    if args.stages:
+        stages["cornell"] = stage_breakdown(cornell, (800, 800),
+                                            args.frames, args.warmup, cfg)
+
     if args.all:
         extras = {}
         # engine flags (fuse_bounce/fuse_path/sort_rays) auto-select from
         # scene statics inside make_trace_fn — no per-scene tuning here
-        import os
-        repo_scenes = os.path.join(os.path.dirname(
-            os.path.abspath(__file__)), "scenes")
-        for path, res in [
-            (f"{args.scenes_dir}/diamond.txt", None),
-            (f"{args.scenes_dir}/bunny.txt", None),
-            (f"{args.scenes_dir}/room.txt", None),
-            # ~30k-tri scale benchmark (the reference demonstrated a
-            # 30k-tri room as real-time, slides/MS3.pdf p.6)
-            (os.path.join(repo_scenes, "terrain30k.txt"), None),
-        ]:
-            name = os.path.splitext(os.path.basename(path))[0]
+        for path, name, res in bench_configs(args.scenes_dir):
             c = RenderConfig(trace_depth=8, **svgf)
             m, _ = run_config(path, res, args.frames, args.warmup, c)
             extras[name] = round(m, 3)
-        # room.txt, animated camera, 1080p: full temporal reprojection loop
+            from ptdn_tpu.scene import Scene
+            r0 = res or Scene(path).resolution
+            rays[name] = round(rays_per_sec(r0, 8, m) / 1e6, 1)
+            if args.quality:
+                quality[name] = quality_rmse(path, name, r0, 8, c,
+                                             args.gt_frames)
+            if args.stages:
+                stages[name] = stage_breakdown(path, res, args.frames,
+                                               args.warmup, c)
+        # room.txt, animated camera, 1080p: full temporal reprojection
+        # loop (no GT/RMSE: the camera never converges on one view)
         c = RenderConfig(trace_depth=8, automate_camera=True,
                          camera_speed_x=0.02, camera_speed_theta=0.01,
                          camera_speed_phi=0.015, **svgf)
         m, _ = run_config(f"{args.scenes_dir}/room.txt", (1920, 1080),
                           args.frames, args.warmup, c, automate=True)
         extras["room_1080p_animated"] = round(m, 3)
-        with open("bench_results.json", "w") as f:
-            json.dump({"headline": result, "extra_ms": extras}, f, indent=2)
-        print(json.dumps({"headline": result, "extra_ms": extras}),
-              file=sys.stderr)
+        rays["room_1080p_animated"] = round(
+            rays_per_sec((1920, 1080), 8, m) / 1e6, 1)
+        if args.stages:
+            stages["room_1080p_animated"] = stage_breakdown(
+                f"{args.scenes_dir}/room.txt", (1920, 1080), args.frames,
+                args.warmup, c)
+        out["extra_ms"] = extras
+
+    out["rays_per_sec_M"] = rays
+    if quality:
+        out["quality_rmse"] = quality
+    if stages:
+        out["stages_ms"] = stages
+    if args.all or args.quality or args.stages:
+        with open(os.path.join(REPO, "bench_results.json"), "w") as f:
+            json.dump(out, f, indent=2)
+        print(json.dumps(out), file=sys.stderr)
 
     print(json.dumps(result))
 

@@ -14,9 +14,10 @@ Two golden families:
   cross-backend budget cannot carry it (a 12% tie-flip budget would hide
   real kernel regressions).
 
-Scene coverage: cornell (analytic geoms + textured mesh wall + NEE),
-diamond (refraction through a mesh), room (two textures — texid=1
-atlas offsets — and multiple meshes), plus two ANIMATED-camera cornell
+Scene coverage: all four reference scenes — cornell (analytic geoms +
+textured mesh wall + NEE), diamond (refraction through a mesh), room
+(two textures — texid=1 atlas offsets — and multiple meshes), bunny
+(the pure BVH-mesh scene) — plus two ANIMATED-camera cornell
 configs chosen so temporal reprojection leaves the static-camera stencil
 domain: slow orbit (banded slab gather) and fast orbit (packed-window
 gather) — the two real-motion paths of denoise/reproject.py."""
@@ -86,6 +87,15 @@ def _render(backend, cfgkw, scene="cornell", frames=3):
     return np.asarray(left), np.asarray(right)
 
 
+def _param(name):
+    """Mesh-scene pallas renders in interpret mode dominate suite
+    runtime — marked slow (fast path: -m 'not slow'); cornell configs
+    stay in the fast path as the always-on regression lock."""
+    scene = PALLAS_SCENES.get(name) or SCENES.get(name)
+    marks = [pytest.mark.slow] if scene in ("bunny", "room") else []
+    return pytest.param(name, marks=marks)
+
+
 @pytest.mark.parametrize("name", sorted(CONFIGS))
 def test_golden_xla(name):
     g = np.load(os.path.join(GOLDEN, f"{name}.npz"))
@@ -94,7 +104,7 @@ def test_golden_xla(name):
     np.testing.assert_allclose(right, g["right"], atol=2e-5, rtol=1e-5)
 
 
-@pytest.mark.parametrize("name", sorted(PALLAS_CONFIGS))
+@pytest.mark.parametrize("name", [_param(n) for n in sorted(PALLAS_CONFIGS)])
 def test_golden_pallas_exact(name):
     """The pallas backend (default production flags) against its OWN
     goldens at float tolerance — the regression lock for every fused
@@ -126,7 +136,7 @@ FRAC_BUDGET = {
 }
 
 
-@pytest.mark.parametrize("name", sorted(CONFIGS))
+@pytest.mark.parametrize("name", [_param(n) for n in sorted(CONFIGS)])
 @pytest.mark.parametrize("fused", [False, True])
 def test_golden_pallas(name, fused):
     g = np.load(os.path.join(GOLDEN, f"{name}.npz"))

@@ -5,6 +5,10 @@ state/outputs actually row-sharded."""
 import numpy as np
 import pytest
 
+# 8-device virtual mesh renders are the suite's slowest tests; the fast
+# iteration path (-m 'not slow') skips them, full runs keep them
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 
