@@ -39,10 +39,14 @@ def init_denoise_state(resolution) -> Dict[str, jnp.ndarray]:
     }
 
 
-def make_denoise_fn(cfg, resolution, interpret=None):
+def make_denoise_fn(cfg, resolution, interpret=None, pyramid_override=None):
     """Build denoise(state, raw_color, gbuffer, view_mat, params)
     -> (output, new_state). Static structure from cfg; sigmas/alphas traced.
-    `interpret`: Pallas interpret mode (None = auto-detect at build)."""
+    `interpret`: Pallas interpret mode (None = auto-detect at build).
+    `pyramid_override(src, variance, gbuffer, params) -> (output,
+    color_history)`: replaces the à-trous level loop — the multi-chip
+    path (parallel/sharded.py) supplies the pallas pyramid under
+    shard_map with explicit halo exchange here."""
     w, h = resolution
     interp_override = interpret
 
@@ -158,6 +162,9 @@ def make_denoise_fn(cfg, resolution, interpret=None):
             output = jnp.broadcast_to((variance / 0.1)[..., None], (h, w, 3))
         elif cfg.atrous_nlevel == 0 or not cfg.spatial_enable:
             output = color_history
+        elif pyramid_override is not None:
+            output, color_history = pyramid_override(
+                color_history, variance, gbuffer, params)
         else:
             use_pallas = cfg.backend == "pallas"
             if use_pallas:

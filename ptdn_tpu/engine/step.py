@@ -47,17 +47,21 @@ def init_frame_state(resolution) -> Dict[str, jnp.ndarray]:
 
 
 def make_frame_step(scene, cfg, resolution=None, trace_override=None,
-                    denoise_cfg=None, interpret=None):
-    """trace_override / denoise_cfg support the multi-chip path
-    (parallel/sharded.py): the pallas trace runs under shard_map with a
-    per-shard row offset, while the denoiser (whose stencils need
-    cross-shard halos) runs the XLA implementation under GSPMD.
+                    denoise_cfg=None, interpret=None,
+                    pyramid_override=None):
+    """trace_override / denoise_cfg / pyramid_override support the
+    multi-chip path (parallel/sharded.py): the pallas trace runs under
+    shard_map with a per-shard row offset; temporal reprojection (whose
+    gathers need cross-shard halos) runs the XLA implementation under
+    GSPMD; the à-trous pyramid runs the production pallas kernels under
+    shard_map with explicit ppermute halo exchange (pyramid_override).
     `interpret` pins Pallas interpret mode at build time (None = auto)."""
     res = tuple(resolution or scene.resolution)
     w, h = res
     trace = trace_override or make_trace_fn(scene, cfg, res,
                                             interpret=interpret)
-    denoise = make_denoise_fn(denoise_cfg or cfg, res, interpret=interpret)
+    denoise = make_denoise_fn(denoise_cfg or cfg, res, interpret=interpret,
+                              pyramid_override=pyramid_override)
 
     def step(state, ds, cam, view_mat, params, frame,
              cam_changed=jnp.bool_(True)

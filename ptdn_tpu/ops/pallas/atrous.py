@@ -100,6 +100,11 @@ def _col_shift(img, dx: int):
 def _kernel(dyn_hbm, stat_hbm, sig_ref, out_c, out_v, dbuf, sbuf, sems,
             *, level: int, h: int, w: int, wp: int, is_last: bool,
             blur_variance: bool, add_color: bool, strip: int = STRIP):
+    """h = FULL image height for the validity masks; sig_ref[0,3] is
+    row0, the global image row of this launch's output row 0 (0 on a
+    single chip; the shard's row offset under shard_map — rides the
+    existing sigma SMEM operand so sharding adds no per-block operand
+    cost, docs/PERF_NOTES.md supergroup lesson)."""
     step = 1 << level
     halo = _halo(level)
     rows = strip + 2 * halo
@@ -122,8 +127,12 @@ def _kernel(dyn_hbm, stat_hbm, sig_ref, out_c, out_v, dbuf, sbuf, sems,
         sl = sbuf[p, halo + dy: halo + dy + strip, :]
         return _col_shift(sl, dx)
 
-    # global coords of this strip's output pixels (validity masks)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (strip, wp), 0) + i * strip
+    # global coords of this strip's output pixels (validity masks);
+    # row0 (f32 scalar, exact for any realistic H) shifts local rows to
+    # GLOBAL image rows so sharded slabs mask taps at true image edges
+    row0 = sig_ref[0, 3].astype(jnp.int32)
+    ys = (jax.lax.broadcasted_iota(jnp.int32, (strip, wp), 0)
+          + i * strip + row0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (strip, wp), 1)
 
     def inb(dy: int, dx: int):
@@ -222,13 +231,21 @@ def _pad_planes(planes, halo, hp, h, w, wp):
     return jnp.pad(planes, ((0, 0), (halo, halo + hp - h), (0, wp - w)))
 
 
-def pack_static_planes(gbuffer, max_level: int, with_albedo: bool = True):
+def pack_static_planes(gbuffer, max_level: int, with_albedo: bool = True,
+                       pre_extended: bool = False):
     """G-buffer planes packed once per frame, padded for the LARGEST halo
     and strip (all levels share them; smaller levels/strips just read a
     sub-window). with_albedo=False drops the 3 albedo*ialbedo planes —
     only the last level with add_color reads them, so every other config
-    saves a third of the static DMA at each level."""
+    saves a third of the static DMA at each level.
+
+    pre_extended=True (sharded slabs): the gbuffer arrays already carry
+    exactly `atrous_halo(max_level)` REAL neighbor rows on both sides
+    (parallel.halo.halo_rows) — they land where the zero pad would,
+    so cross-shard taps read true G-buffer data."""
     h, w = gbuffer["position"].shape[:2]
+    if pre_extended:
+        h -= 2 * _halo(max_level)
     plist = [
         gbuffer["position"][..., 0], gbuffer["position"][..., 1],
         gbuffer["position"][..., 2],
@@ -246,15 +263,31 @@ def pack_static_planes(gbuffer, max_level: int, with_albedo: bool = True):
         -(-h // s) * s
         for s in (_pick_strip(h, wp, _halo(lv), 4 + n_stat)
                   for lv in range(1, max(max_level, 1) + 1)))
+    if pre_extended:
+        return jnp.pad(planes, ((0, 0), (0, hp - h), (0, wp - w))), halo
     return _pad_planes(planes, halo, hp, h, w, wp), halo
+
+
+# exported for sharded callers sizing their halo exchanges
+atrous_halo = _halo
 
 
 def atrous_level_pallas(color, variance, static_planes, static_halo: int,
                         gbuffer_shape, level: int, is_last: bool,
                         sigma_l, sigma_n, sigma_x, blur_variance: bool,
-                        add_color: bool, interpret: bool = False):
+                        add_color: bool, interpret: bool = False,
+                        row0=None, full_h: int = None,
+                        halo_top=None, halo_bottom=None):
     """One fused à-trous level. static_planes from pack_static_planes.
-    Returns (color_out (H,W,3), variance_out (H,W))."""
+    Returns (color_out (H,W,3), variance_out (H,W)).
+
+    Sharded slabs (parallel/sharded.py): `color`/`variance` are the
+    shard's LOCAL rows; `halo_top`/`halo_bottom` are (color, variance)
+    tuples of exactly `atrous_halo(level)` real neighbor rows (from
+    parallel.halo.halo_rows), `row0` the shard's global first row
+    (traced scalar) and `full_h` the GLOBAL image height — taps then
+    read real cross-shard data and mask at true image edges, exactly
+    like the single-chip program."""
     h, w = gbuffer_shape
     halo = _halo(level)
     wp = -(-w // 128) * 128
@@ -266,17 +299,31 @@ def atrous_level_pallas(color, variance, static_planes, static_halo: int,
     hp = -(-h // strip) * strip
 
     dyn = jnp.stack([color[..., 0], color[..., 1], color[..., 2], variance])
-    dyn = _pad_planes(dyn, halo, hp, h, w, wp)
+    if halo_top is not None:
+        ct, vt = halo_top
+        cb, vb = halo_bottom
+        tt = jnp.stack([ct[..., 0], ct[..., 1], ct[..., 2], vt])
+        bb = jnp.stack([cb[..., 0], cb[..., 1], cb[..., 2], vb])
+        if tt.shape[1] != halo or bb.shape[1] != halo:
+            raise ValueError(f"halo rows must be atrous_halo({level})="
+                             f"{halo}, got {tt.shape[1]}/{bb.shape[1]}")
+        dyn = jnp.concatenate([tt, dyn, bb], axis=1)
+        dyn = jnp.pad(dyn, ((0, 0), (0, hp - h), (0, wp - w)))
+    else:
+        dyn = _pad_planes(dyn, halo, hp, h, w, wp)
     # static planes are padded with static_halo rows; this level needs
     # halo rows: offset so that scratch row r == global row r - halo
     stat = jax.lax.slice_in_dim(static_planes, static_halo - halo,
                                 static_halo - halo + hp + 2 * halo, axis=1)
 
     sig = jnp.stack([jnp.float32(sigma_l), jnp.float32(sigma_n),
-                     jnp.float32(sigma_x)]).reshape(1, 3)
+                     jnp.float32(sigma_x),
+                     jnp.float32(0.0 if row0 is None else row0)]
+                    ).reshape(1, 4)
 
     rows = strip + 2 * halo
-    kern = functools.partial(_kernel, level=level, h=h, w=w, wp=wp,
+    kern = functools.partial(_kernel, level=level,
+                             h=(h if full_h is None else full_h), w=w, wp=wp,
                              is_last=is_last, blur_variance=blur_variance,
                              add_color=add_color, strip=strip)
     out_c, out_v = pl.pallas_call(
@@ -285,7 +332,7 @@ def atrous_level_pallas(color, variance, static_planes, static_halo: int,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # dyn (HBM)
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # static
-            pl.BlockSpec((1, 3), lambda i: (0, 0),
+            pl.BlockSpec((1, 4), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),       # sigmas
         ],
         out_specs=[
