@@ -88,3 +88,47 @@ timeit("I: row gather, BANDED perm (4096-local)",
 timeit("J: planes->T->gather->T, BANDED perm",
        lambda pl, p: pl.reshape(K, N).T[p].T.reshape(K, NB, 128),
        planes, banded)
+
+# K-lane GROUP granularity: gather (N/G, G*K) rows — count-bound means
+# grouping should cut the cost ~G-fold (coherence cost paid in the
+# trace kernel instead, measured separately)
+for G in (2, 4, 8):
+    ng = N // G
+    pg = jnp.asarray(rng.permutation(ng).astype(np.int32))
+    timeit(f"K{G}: planes->T->group-reshape->gather->T (G={G})",
+           lambda pl, p, G=G, ng=ng: pl.reshape(K, N).T.reshape(
+               ng, G * K)[p].reshape(N, K).T.reshape(K, NB, 128),
+           planes, pg)
+
+# 1080p scale: N2=2073600 lanes -> 240 MB table, ABOVE the ~110 MB
+# gather cliff. Which formulation wins there: 8-wide column groups
+# (the G=1 production choice), one wide grouped gather, or grouped
+# gathers of column slices?
+N2 = 1920 * 1080
+NB2 = N2 // 128
+planes2 = jnp.asarray(rng.standard_normal((K, NB2, 128), np.float32))
+perm2 = jnp.asarray(rng.permutation(N2).astype(np.int32))
+print(f"N2={N2} ({K * N2 * 4 / 1e6:.0f} MB table)")
+timeit("L1: G=1 8-wide col groups (production 1080p)",
+       lambda pl, p: jnp.concatenate(
+           [pl[lo:min(lo + 8, K)].reshape(-1, N2).T[p].T.reshape(
+               min(lo + 8, K) - lo, NB2, 128)
+            for lo in range(0, K, 8)], axis=0),
+       planes2, perm2)
+timeit("L2: G=1 single row gather",
+       lambda pl, p: pl.reshape(K, N2).T[p].T.reshape(K, NB2, 128),
+       planes2, perm2)
+for G in (4, 8):
+    ng2 = N2 // G
+    pg2 = jnp.asarray(rng.permutation(ng2).astype(np.int32))
+    timeit(f"L3-G{G}: grouped single gather",
+           lambda pl, p, G=G, ng2=ng2: pl.reshape(K, N2).T.reshape(
+               ng2, G * K)[p].reshape(N2, K).T.reshape(K, NB2, 128),
+           planes2, pg2)
+    timeit(f"L4-G{G}: grouped gather of 8-plane col slices",
+           lambda pl, p, G=G, ng2=ng2: jnp.concatenate(
+               [pl[lo:min(lo + 8, K)].reshape(-1, N2).T.reshape(
+                   ng2, G * (min(lo + 8, K) - lo))[p].reshape(
+                   N2, -1).T.reshape(-1, NB2, 128)
+                for lo in range(0, K, 8)], axis=0),
+           planes2, pg2)

@@ -587,7 +587,7 @@ def chunk_range_planes(ds, ox_, oy_, oz_, dx_, dy_, dz_, n_chunks_static,
 
 
 def permute_by_key(ds, sh, pix, n, nb, n_chunks_static, do_vis,
-                   light_pos=None, light_radius=None):
+                   light_pos=None, light_radius=None, group=4):
     """Reorder lanes (all planes together, ONE packed row gather
     — scatters cost ~10x on v5e) by the crossed-chunk-ID ranges of
     the next ray and the shadow ray, so each 1024-lane tile's union
@@ -595,7 +595,18 @@ def permute_by_key(ds, sh, pix, n, nb, n_chunks_static, do_vis,
     count — stays a handful of chunks. Dead lanes key past every
     live bucket so whole tiles go idle. Returns the permuted
     (shade planes + nlo + nhi + slo + shi, pix) — the range planes
-    ride along so the trace kernel can bound its chunk loops."""
+    ride along so the trace kernel can bound its chunk loops.
+
+    `group` (G): sort/gather at G-LANE granularity. The row gather is
+    COUNT-bound (~100 M rows/s regardless of width up to ~500 B,
+    benchmarks/micro_permute.py: 29-plane gather 7.1 ms at G=1 vs
+    2.7 ms at G=4 for 640 k lanes), so moving G lanes per gathered row
+    cuts the permute cost ~G-fold. Placement granularity coarsens:
+    groups are lanes already adjacent after the PREVIOUS bounce's sort
+    (camera-adjacent at bounce 1), and the group sort key is the min
+    over the group's lane keys, so tile chunk-unions stay tight; the
+    per-lane range planes ride along, so in-kernel culling stays
+    per-lane exact regardless of G."""
     import jax
 
     from ptdn_tpu.ops.pallas import shade as SH
@@ -635,8 +646,15 @@ def permute_by_key(ds, sh, pix, n, nb, n_chunks_static, do_vis,
     if do_vis:
         key = key * ncp1 + slo
     key = jnp.where(alive, key, jnp.int32(1 << 30))
+    G = int(group) if group else 1
+    if G > 1 and 128 % G:
+        raise ValueError(f"sort group {G} must divide 128")
+    ng = n // G
+    # group key: min over the G lanes (all-dead groups keep the
+    # sentinel, preserving the stable dead-tail invariant below)
+    keyg = key.reshape(ng, G).min(axis=1) if G > 1 else key.reshape(n)
     order = jax.lax.sort_key_val(
-        key.reshape(n), jnp.arange(n, dtype=jnp.int32))[1]
+        keyg, jnp.arange(ng, dtype=jnp.int32))[1]
     allp = jnp.concatenate(
         [sh, nlo[None].astype(jnp.float32),
          nhi[None].astype(jnp.float32),
@@ -644,7 +662,7 @@ def permute_by_key(ds, sh, pix, n, nb, n_chunks_static, do_vis,
          shi[None].astype(jnp.float32), pix[None]], axis=0)
     k_pl = allp.shape[0]
 
-    # Active-prefix ladder: the row gather is COUNT-bound (~125 M
+    # Active-prefix ladder: the row gather is COUNT-bound (~100 M
     # rows/s on v5e regardless of row width), so gathering only the
     # non-identity prefix scales the permute with path survival: dead
     # lanes share the sentinel key, the sort is STABLE, and each
@@ -653,18 +671,21 @@ def permute_by_key(ds, sh, pix, n, nb, n_chunks_static, do_vis,
     # planes can be copied with a static slice instead of gathered.
     # The exact (assumption-free) prefix bound is the last position
     # the permutation actually moves.
-    iota_n = jnp.arange(n, dtype=jnp.int32)
-    moved_hi = jnp.max(jnp.where(order != iota_n, iota_n, -1)) + 1
+    iota_g = jnp.arange(ng, dtype=jnp.int32)
+    moved_hi = jnp.max(jnp.where(order != iota_g, iota_g, -1)) + 1
+
+    rowsT = allp.reshape(k_pl, n).T.reshape(ng, G * k_pl)
 
     def permute_prefix(rows_pref):
         """Gather positions [0, rows_pref*128); copy the tail."""
         npref = rows_pref * 128
 
         def go(_):
-            opref = jax.lax.slice(order, (0,), (npref,))
-            if k_pl * npref * 4 > 110 * 1024 * 1024:
+            opref = jax.lax.slice(order, (0,), (npref // G,))
+            if G == 1 and k_pl * npref * 4 > 110 * 1024 * 1024:
                 # above the ~110 MB gather cliff: 8-wide column groups
-                # (benchmarks/micro_sort.py)
+                # (benchmarks/micro_sort.py); the G>1 grouped gather
+                # rides the wide-row path instead
                 outs = []
                 for lo in range(0, k_pl, 8):
                     hi = min(lo + 8, k_pl)
@@ -672,7 +693,7 @@ def permute_by_key(ds, sh, pix, n, nb, n_chunks_static, do_vis,
                     outs.append(rows.T.reshape(hi - lo, npref // 128, 128))
                 pref = jnp.concatenate(outs, axis=0)
             else:
-                rows = allp.reshape(k_pl, n).T[opref]
+                rows = rowsT[opref].reshape(npref, k_pl)
                 pref = rows.T.reshape(k_pl, npref // 128, 128)
             if npref == n:
                 return pref
@@ -686,7 +707,7 @@ def permute_by_key(ds, sh, pix, n, nb, n_chunks_static, do_vis,
     out = permute_prefix(nb)
     for r in reversed(rungs):
         out = (lambda nxt, r: lambda _: jax.lax.cond(
-            moved_hi <= r * 128, permute_prefix(r), nxt, None))(out, r)
+            moved_hi * G <= r * 128, permute_prefix(r), nxt, None))(out, r)
     allp = out(None)
     return allp[:-1], allp[-1]
 
@@ -915,7 +936,9 @@ def make_trace_fn(scene, cfg, resolution, full_height=None, interpret=None):
             outA, pix = permute_by_key(
                 ds, outA, pix, n, nb, n_chunks_static, do_vis,
                 light_pos=ds.geom_translation[light_geom],
-                light_radius=lhd)
+                light_radius=lhd,
+                group=(cfg.sort_group if cfg.sort_group is not None
+                       else 4))
             out, tex_comp = BK.trace_bounce_pallas(
                 outA, pv, ds,
                 geom_types=scene.geom_types,

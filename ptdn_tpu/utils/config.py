@@ -95,6 +95,13 @@ class RenderConfig:
     # so results match the unsorted path up to XLA fusion differences
     # (~1 ulp on <1% of lanes; tests/test_engine.py).
     sort_rays: Any = None
+    # coherence-sort placement granularity in LANES (engine.wavefront
+    # .permute_by_key): the per-bounce permute gather is count-bound,
+    # so moving G lanes per gathered row cuts its cost ~G-fold (7.1 ->
+    # 2.7 ms/bounce at bunny scale, benchmarks/micro_permute.py) while
+    # groups — lanes already adjacent after the previous bounce's sort
+    # — keep tile chunk-unions tight. None = auto (4).
+    sort_group: Any = None
     # fused temporal-reprojection + à-trous-level-1 kernel
     # (ops/pallas/reproject_atrous.py): the accumulated color never
     # round-trips HBM between the two stages. Measured NEUTRAL on
@@ -127,7 +134,7 @@ class RenderConfig:
             self.sep_color, self.add_color, self.right_view_option,
             self.backend, self.mesh_mode, self.compat,
             self.fuse_bounce, self.fuse_path, self.sort_rays,
-            self.fuse_reproject_l1,
+            self.sort_group, self.fuse_reproject_l1,
         )
 
     def replace(self, **kw) -> "RenderConfig":
