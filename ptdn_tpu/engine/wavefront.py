@@ -22,6 +22,7 @@ path (reference src/pathtrace.cu:300-401). On TPU that becomes:
 
 from __future__ import annotations
 
+import os
 from typing import Dict
 
 import jax.numpy as jnp
@@ -387,10 +388,10 @@ def albedo_from_tilepack(ds, mv, comp3, interpret: bool):
     the per-row-cap sparse path (albedo_from), this cannot overflow:
     sorted-wavefront order clusters textured lanes into dense rows that
     blow any per-row cap and forced the dense fallback every bounce."""
-    from ptdn_tpu.ops.pallas.bounce import RROWS as BOUNCE_RROWS
+    from ptdn_tpu.ops.pallas.bounce import TRACE_ROWS
     sl, cv, cn = comp3
     packed = packed_texel_gather(ds, sl[None], cv[None], cn[None],
-                                 interpret, rrows=BOUNCE_RROWS)[0]
+                                 interpret, rrows=TRACE_ROWS)[0]
     nb = sl.shape[0]
     n = nb * 128
     packed = packed.reshape(n)
@@ -586,8 +587,15 @@ def chunk_range_planes(ds, ox_, oy_, oz_, dx_, dy_, dz_, n_chunks_static,
     return lo, hi
 
 
+# sub-batch threshold for the coherence permute (bytes of gathered
+# table per batch); module-level so tests can force the batched path,
+# env-overridable in bytes for A/B (a huge value disables batching)
+_GATHER_CLIFF = int(os.environ.get("PTDN_GATHER_CLIFF", 0) or
+                    100 * 1024 * 1024)
+
+
 def permute_by_key(ds, sh, pix, n, nb, n_chunks_static, do_vis,
-                   light_pos=None, light_radius=None, group=4):
+                   light_pos=None, light_radius=None, group=1):
     """Reorder lanes (all planes together, ONE packed row gather
     — scatters cost ~10x on v5e) by the crossed-chunk-ID ranges of
     the next ray and the shadow ray, so each 1024-lane tile's union
@@ -649,66 +657,101 @@ def permute_by_key(ds, sh, pix, n, nb, n_chunks_static, do_vis,
     G = int(group) if group else 1
     if G > 1 and 128 % G:
         raise ValueError(f"sort group {G} must divide 128")
-    ng = n // G
-    # group key: min over the G lanes (all-dead groups keep the
-    # sentinel, preserving the stable dead-tail invariant below)
-    keyg = key.reshape(ng, G).min(axis=1) if G > 1 else key.reshape(n)
-    order = jax.lax.sort_key_val(
-        keyg, jnp.arange(ng, dtype=jnp.int32))[1]
     allp = jnp.concatenate(
         [sh, nlo[None].astype(jnp.float32),
          nhi[None].astype(jnp.float32),
          slo[None].astype(jnp.float32),
          shi[None].astype(jnp.float32), pix[None]], axis=0)
     k_pl = allp.shape[0]
+    key = key.reshape(n)
 
-    # Active-prefix ladder: the row gather is COUNT-bound (~100 M
-    # rows/s on v5e regardless of row width), so gathering only the
-    # non-identity prefix scales the permute with path survival: dead
-    # lanes share the sentinel key, the sort is STABLE, and each
-    # bounce's sort leaves its dead tail in place — so once a lane
-    # reaches the tail, every later sort maps it to itself and its
-    # planes can be copied with a static slice instead of gathered.
-    # The exact (assumption-free) prefix bound is the last position
-    # the permutation actually moves.
-    iota_g = jnp.arange(ng, dtype=jnp.int32)
-    moved_hi = jnp.max(jnp.where(order != iota_g, iota_g, -1)) + 1
+    # Sub-batching: past ~110 MB of gathered table the XLA row gather
+    # falls off a bandwidth cliff (benchmarks/micro_sort.py — the
+    # 8-wide column-group fallback still cost 43.5 ms/bounce at 1080p,
+    # benchmarks/micro_permute.py L1). Splitting the wavefront into
+    # independently-sorted contiguous row batches keeps each batch's
+    # table below the cliff, so every gather runs at the fast
+    # (~100 M rows/s) rate. Each batch sorts only its own lanes: tiles
+    # stay batch-local, so trace-kernel coherence is unchanged except
+    # for at most n_batch-1 extra partially-mixed bucket-boundary tiles
+    # per bucket; the per-batch stable sort preserves the dead-tail
+    # ladder invariant within each batch.
+    n_batch = max(1, -(-(k_pl * n * 4) // _GATHER_CLIFF))
+    rb = -(-(-(-nb // n_batch)) // 32) * 32   # rows/batch, 32-row mult
+    spans = []
+    r0 = 0
+    while r0 < nb:
+        spans.append((r0, min(r0 + rb, nb)))
+        r0 += rb
 
-    rowsT = allp.reshape(k_pl, n).T.reshape(ng, G * k_pl)
+    def one_batch(allp_b, key_b, nb_b):
+        nB = nb_b * 128
+        ngB = nB // G
+        # group key: min over the G lanes (all-dead groups keep the
+        # sentinel, preserving the stable dead-tail invariant below)
+        keyg = key_b.reshape(ngB, G).min(axis=1) if G > 1 else key_b
+        order = jax.lax.sort_key_val(
+            keyg, jnp.arange(ngB, dtype=jnp.int32))[1]
 
-    def permute_prefix(rows_pref):
-        """Gather positions [0, rows_pref*128); copy the tail."""
-        npref = rows_pref * 128
+        # Active-prefix ladder: the row gather is COUNT-bound (~100 M
+        # rows/s on v5e regardless of row width), so gathering only the
+        # non-identity prefix scales the permute with path survival:
+        # dead lanes share the sentinel key, the sort is STABLE, and
+        # each bounce's sort leaves its dead tail in place — so once a
+        # lane reaches the tail, every later sort maps it to itself and
+        # its planes can be copied with a static slice instead of
+        # gathered. The exact (assumption-free) prefix bound is the
+        # last position the permutation actually moves.
+        iota_g = jnp.arange(ngB, dtype=jnp.int32)
+        moved_hi = jnp.max(jnp.where(order != iota_g, iota_g, -1)) + 1
 
-        def go(_):
-            opref = jax.lax.slice(order, (0,), (npref // G,))
-            if G == 1 and k_pl * npref * 4 > 110 * 1024 * 1024:
-                # above the ~110 MB gather cliff: 8-wide column groups
-                # (benchmarks/micro_sort.py); the G>1 grouped gather
-                # rides the wide-row path instead
-                outs = []
-                for lo in range(0, k_pl, 8):
-                    hi = min(lo + 8, k_pl)
-                    rows = allp[lo:hi].reshape(hi - lo, n).T[opref]
-                    outs.append(rows.T.reshape(hi - lo, npref // 128, 128))
-                pref = jnp.concatenate(outs, axis=0)
-            else:
-                rows = rowsT[opref].reshape(npref, k_pl)
-                pref = rows.T.reshape(k_pl, npref // 128, 128)
-            if npref == n:
-                return pref
-            tail = jax.lax.slice(allp, (0, npref // 128, 0),
-                                 (k_pl, nb, 128))
-            return jnp.concatenate([pref, tail], axis=1)
-        return go
+        rowsT = allp_b.reshape(k_pl, nB).T.reshape(ngB, G * k_pl)
 
-    rungs = [r for r in (nb // 8, nb // 4, nb * 3 // 8, nb // 2,
-                         nb * 3 // 4) if 0 < r < nb]
-    out = permute_prefix(nb)
-    for r in reversed(rungs):
-        out = (lambda nxt, r: lambda _: jax.lax.cond(
-            moved_hi * G <= r * 128, permute_prefix(r), nxt, None))(out, r)
-    allp = out(None)
+        def permute_prefix(rows_pref):
+            """Gather positions [0, rows_pref*128); copy the tail."""
+            npref = rows_pref * 128
+
+            def go(_):
+                opref = jax.lax.slice(order, (0,), (npref // G,))
+                if G == 1 and k_pl * npref * 4 > 110 * 1024 * 1024:
+                    # above the ~110 MB gather cliff (only reachable
+                    # when a single batch already exceeds it): 8-wide
+                    # column groups (benchmarks/micro_sort.py)
+                    outs = []
+                    for lo in range(0, k_pl, 8):
+                        hi = min(lo + 8, k_pl)
+                        rows = allp_b[lo:hi].reshape(hi - lo, nB).T[opref]
+                        outs.append(rows.T.reshape(hi - lo,
+                                                   npref // 128, 128))
+                    pref = jnp.concatenate(outs, axis=0)
+                else:
+                    rows = rowsT[opref].reshape(npref, k_pl)
+                    pref = rows.T.reshape(k_pl, npref // 128, 128)
+                if npref == nB:
+                    return pref
+                tail = jax.lax.slice(allp_b, (0, npref // 128, 0),
+                                     (k_pl, nb_b, 128))
+                return jnp.concatenate([pref, tail], axis=1)
+            return go
+
+        rungs = [r for r in (nb_b // 8, nb_b // 4, nb_b * 3 // 8,
+                             nb_b // 2, nb_b * 3 // 4) if 0 < r < nb_b]
+        out = permute_prefix(nb_b)
+        for r in reversed(rungs):
+            out = (lambda nxt, r: lambda _: jax.lax.cond(
+                moved_hi * G <= r * 128, permute_prefix(r), nxt,
+                None))(out, r)
+        return out(None)
+
+    if len(spans) == 1:
+        allp = one_batch(allp, key, nb)
+    else:
+        parts = []
+        for (r0, r1) in spans:
+            allp_b = jax.lax.slice(allp, (0, r0, 0), (k_pl, r1, 128))
+            key_b = jax.lax.slice(key, (r0 * 128,), (r1 * 128,))
+            parts.append(one_batch(allp_b, key_b, r1 - r0))
+        allp = jnp.concatenate(parts, axis=1)
     return allp[:-1], allp[-1]
 
 
@@ -938,7 +981,7 @@ def make_trace_fn(scene, cfg, resolution, full_height=None, interpret=None):
                 light_pos=ds.geom_translation[light_geom],
                 light_radius=lhd,
                 group=(cfg.sort_group if cfg.sort_group is not None
-                       else 4))
+                       else 1))
             out, tex_comp = BK.trace_bounce_pallas(
                 outA, pv, ds,
                 geom_types=scene.geom_types,

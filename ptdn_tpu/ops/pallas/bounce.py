@@ -25,6 +25,7 @@ bounce (pathtrace.cu:388-392 likewise skips the last scatter/trace).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +39,12 @@ from ptdn_tpu.ops.pallas.shade import (_IN_KEYS, _fd2, lane_seed, pix_seed,
                                        shade_tiles)
 
 RROWS = 8
+# Block height of the SORTED-path trace kernel (visibility + closest
+# hit). 8 was forced by the gather-mode dynamic row extract
+# (vreg-local, exactly 8 sublanes); select-mode extraction
+# (scene_intersect.ROW_EXTRACT) frees it — 32-row blocks amortize
+# per-block fixed costs 4x (the whole-path kernel's measured 25% win).
+TRACE_ROWS = int(os.environ.get("PTDN_TRACE_ROWS", "8"))
 N_BIN = 22
 N_BOUT = 21
 # output plane indices (engine-side consumers)
@@ -196,7 +203,7 @@ def _trace_kernel(inp, par_ref,
                                            O_SPX, O_SPY, O_SPZ, O_TB, O_TG,
                                            O_TR)
 
-    shape = (RROWS, 128)
+    shape = (TRACE_ROWS, 128)
     spx, spy, spz = inp[O_SPX], inp[O_SPY], inp[O_SPZ]
     dx, dy, dz = inp[O_DX], inp[O_DY], inp[O_DZ]
     act = inp[O_ACT]
@@ -319,14 +326,19 @@ def trace_bounce_pallas(planes_in, params_vec, ds,
         light_emit=tuple(float(x) for x in light_emit), has_fc=has_fc,
         emit_tex=emit_tex, mat_texids=tuple(mat_texids),
         tex_whs=tuple(tex_whs), atlas_hw=atlas_hw)
-    plane_in_spec = pl.BlockSpec((n_in, RROWS, 128),
+    if nb % TRACE_ROWS:
+        raise ValueError(f"trace block height {TRACE_ROWS} must divide "
+                         f"nb={nb} (lanes are padded to 4096 multiples "
+                         f"in make_trace_fn)")
+    plane_in_spec = pl.BlockSpec((n_in, TRACE_ROWS, 128),
                                  lambda i: (0, i, 0),
                                  memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    ray_spec = pl.BlockSpec((RROWS, 128), lambda i: (i, 0),
+    ray_spec = pl.BlockSpec((TRACE_ROWS, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    out_specs = [pl.BlockSpec((N_BOUT, RROWS, 128), lambda i: (0, i, 0),
+    out_specs = [pl.BlockSpec((N_BOUT, TRACE_ROWS, 128),
+                              lambda i: (0, i, 0),
                               memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((N_BOUT, nb, 128), jnp.float32)]
     if emit_tex:
@@ -334,7 +346,7 @@ def trace_bounce_pallas(planes_in, params_vec, ds,
         out_shape += [jax.ShapeDtypeStruct((nb, 128), jnp.int32)] * 3
     outs = pl.pallas_call(
         kern,
-        grid=(nb // RROWS,),
+        grid=(nb // TRACE_ROWS,),
         in_specs=[plane_in_spec,
                   pl.BlockSpec((1, 8), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),

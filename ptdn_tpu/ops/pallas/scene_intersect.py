@@ -39,6 +39,42 @@ from ptdn_tpu.scene.parser import CUBE, MESH, SPHERE
 # out (bunny 221 -> 251 ms: per-row scalar work dominates).
 SUBCHUNK = os.environ.get("PTDN_SUBCHUNK", "off")
 
+# Mesh scan loop order over (chunk, row):
+#   "chunk" — chunks outer (tile-union range), needing-row loop inner
+#   "row"   — rows outer (static unroll), chunk fori inner bounded by
+#             EACH ROW'S OWN crossed-chunk range + a per-(row, chunk)
+#             slab-cull cond. Motivation (benchmarks/diag_ranges.py,
+#             depth-3): tile unions cover ~ALL chunks (room 19/22,
+#             bunny 26-34/39 — 1024 lanes' crossed sets scatter across
+#             the whole ID space) while per-LANE range widths stay ~6-7
+#             — so row-level bounds cut chunk visits ~3x and the cull
+#             cond skips rows that don't cross the chunk at all.
+MESH_LOOP = os.environ.get("PTDN_MESH_LOOP", "chunk")
+
+# Dynamic row extract inside the needing-row loops:
+#   "select" — masked sublane reduction (any block height)
+#   "gather" — take_along_axis(axis=0) = tpu.dynamic_gather, vreg-local:
+#              exactly 8 sublanes, locking mesh kernels to 8-row blocks
+# A/B knob; "select" unlocks 32-row trace blocks (PTDN_TRACE_ROWS).
+ROW_EXTRACT = os.environ.get("PTDN_ROW_EXTRACT", "select")
+
+
+def _extract_row(planes, r, shape):
+    """Extract row `r` (traced scalar) of each [R,128] tile as [1,128].
+    select mode: one row mask + per-plane masked sublane-sum — pure
+    vector ops at any R. gather mode: the historical vreg-local
+    dynamic_gather (R=8 only)."""
+    if ROW_EXTRACT == "select":
+        row_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        sel = row_i == r
+        zero = jnp.zeros(shape, jnp.float32)
+        return [jnp.sum(jnp.where(sel, p, zero), axis=0, keepdims=True)
+                for p in planes]
+    rfull = jnp.full(shape, r, jnp.int32)
+    return [jax.lax.slice(jnp.take_along_axis(p, rfull, axis=0),
+                          (0, 0), (1, 128))
+            for p in planes]
+
 FLT_MAX = 3.402823466e38
 FLT_EPSILON = 1.1920929e-07
 BACKOFF = 1e-4
@@ -207,12 +243,8 @@ def light_visibility_tiles(o, d, vis_refs, shape, *, geom_types,
             row_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
 
             def row_body(r, occ):
-                rfull = jnp.full(shape, r, jnp.int32)
-                rox, roy, roz, rdx, rdy, rdz, rta = [
-                    jax.lax.slice(
-                        jnp.take_along_axis(p, rfull, axis=0),
-                        (0, 0), (1, 128))
-                    for p in (ox, oy, oz, dx, dy, dz, ta)]
+                rox, roy, roz, rdx, rdy, rdz, rta = _extract_row(
+                    (ox, oy, oz, dx, dy, dz, ta), r, shape)
 
                 def one_group(g, ro):
                     sl = tri_r[pl.ds(c * TCHUNK + g * TGROUP, TGROUP), :]
@@ -250,7 +282,63 @@ def light_visibility_tiles(o, d, vis_refs, shape, *, geom_types,
 
         return jax.lax.fori_loop(0, TCHUNK // TGROUP, group, lit)
 
+    def row_major_occ(lit):
+        """Rows outer (static), chunk fori inner bounded by the row's
+        own crossed range; a slab-cull cond per (row, chunk) skips
+        chunks no still-lit lane of the row crosses inside its
+        t-window. Value-exact vs the chunk-outer loop: per lane the
+        same ascending (chunk, group, tri) any-hit order."""
+        lo_p, hi_p = chunk_range
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        out = lit
+        for r in range(shape[0]):
+            (rox, roy, roz, rdx, rdy, rdz, rta, rlit, rlo_v,
+             rhi_v) = _extract_row(
+                (ox, oy, oz, dx, dy, dz, ta, lit, lo_p, hi_p), r, shape)
+            rix = 1.0 / rdx
+            riy = 1.0 / rdy
+            riz = 1.0 / rdz
+            rlo = jnp.min(rlo_v).astype(jnp.int32)
+            rhi = jnp.max(rhi_v).astype(jnp.int32)
+
+            def cbody(c, rl, rox=rox, roy=roy, roz=roz, rdx=rdx,
+                      rdy=rdy, rdz=rdz, rta=rta, rix=rix, riy=riy,
+                      riz=riz):
+                t0x = (cmin_r[c, 0] - rox) * rix
+                t1x = (cmax_r[c, 0] - rox) * rix
+                t0y = (cmin_r[c, 1] - roy) * riy
+                t1y = (cmax_r[c, 1] - roy) * riy
+                t0z = (cmin_r[c, 2] - roz) * riz
+                t1z = (cmax_r[c, 2] - roz) * riz
+                tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                               jnp.minimum(t0y, t1y)),
+                                   jnp.minimum(t0z, t1z))
+                tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                               jnp.maximum(t0y, t1y)),
+                                   jnp.maximum(t0z, t1z))
+                needed = ((rl > 0.5) & (tmax >= 0.0) & (tmin <= tmax)
+                          & (tmin < rta))
+
+                def hit(rl2):
+                    ro = jnp.zeros((1, 128), jnp.float32)
+                    for g in range(TCHUNK // TGROUP):
+                        sl = tri_r[pl.ds(c * TCHUNK + g * TGROUP,
+                                         TGROUP), :]
+                        ro = occ_one_row(sl, rox, roy, roz, rdx, rdy,
+                                         rdz, rta, ro)
+                    return rl2 * (1.0 - ro)
+
+                return jax.lax.cond(jnp.any(needed), hit, lambda x: x,
+                                    rl)
+
+            rl = jax.lax.fori_loop(rlo, rhi + 1, cbody, rlit)
+            out = jnp.where(row_iota == r, jnp.broadcast_to(rl, shape),
+                            out)
+        return out
+
     if chunk_range is not None and n_chunks > 4:
+        if MESH_LOOP == "row":
+            return row_major_occ(lit)
         # sorted-wavefront: scan only the tile's union crossed range —
         # chunks outside [c_lo, c_hi] are crossed by no lane (exact)
         lo_p, hi_p = chunk_range
@@ -266,11 +354,10 @@ def light_visibility_tiles(o, d, vis_refs, shape, *, geom_types,
 
     def body(state):
         c, lit = state
-        # the compacted branch's dynamic row reads are vreg-local
-        # (tpu.dynamic_gather axis=0: exactly 8 sublanes), so blocks
-        # taller than 8 rows (the 32-row whole-path kernel) must take
-        # the dense branch
-        if n_chunks <= 4 or shape[0] != 8:
+        # gather-mode dynamic row reads are vreg-local (8 sublanes):
+        # taller blocks (the 32-row whole-path kernel) must then take
+        # the dense branch; select-mode extraction frees the height
+        if n_chunks <= 4 or (shape[0] != 8 and ROW_EXTRACT == "gather"):
             relevant_t = jnp.where(lit > 0.5, ta, -FLT_MAX)
             lit = jax.lax.cond(chunk_cull(c, relevant_t),
                                lambda l: any_hit_chunk(c, l),
@@ -704,13 +791,8 @@ def _mesh_best(tri_r, cmin_r, cmax_r, o, d, ta, ga, shape, n_tris: int,
 
             def row_body(r, acc):
                 ct, ci = acc
-                rfull = jnp.full(shape, r, jnp.int32)
-                # dynamic row extract: sublane gather + static row slice
-                rox, roy, roz, rdx, rdy, rdz = [
-                    jax.lax.slice(
-                        jnp.take_along_axis(p, rfull, axis=0),
-                        (0, 0), (1, 128))
-                    for p in (ox, oy, oz, dx, dy, dz)]
+                rox, roy, roz, rdx, rdy, rdz = _extract_row(
+                    (ox, oy, oz, dx, dy, dz), r, shape)
 
                 def one_group(g, acc2):
                     rt, ri = acc2
@@ -742,6 +824,66 @@ def _mesh_best(tri_r, cmin_r, cmax_r, o, d, ta, ga, shape, n_tris: int,
 
         return jax.lax.cond(r_hi >= r_lo, do, lambda b: b, (bt, bi))
 
+    def row_major_best(bt0, bi0):
+        """Rows outer (static), chunk fori inner bounded by the row's
+        own crossed range + per-(row, chunk) slab-cull cond (see
+        MESH_LOOP). Value-exact vs the chunk-outer loop: per lane the
+        same ascending (chunk, group, tri) visit order with the same
+        strict-< updates, and the per-lane t-window tightens
+        continuously (a superset of the per-chunk tightening)."""
+        lo_p, hi_p = chunk_range
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        bt, bi = bt0, bi0
+        for r in range(shape[0]):
+            (rox, roy, roz, rdx, rdy, rdz, rbt0, rbi0, rlo_v,
+             rhi_v) = _extract_row(
+                (ox, oy, oz, dx, dy, dz, bt0, bi0, lo_p, hi_p), r,
+                shape)
+            rix = 1.0 / rdx
+            riy = 1.0 / rdy
+            riz = 1.0 / rdz
+            rlo = jnp.min(rlo_v).astype(jnp.int32)
+            rhi = jnp.max(rhi_v).astype(jnp.int32)
+
+            def cbody(c, acc, rox=rox, roy=roy, roz=roz, rdx=rdx,
+                      rdy=rdy, rdz=rdz, rix=rix, riy=riy, riz=riz):
+                rt, ri = acc
+                t0x = (cmin_r[c, 0] - rox) * rix
+                t1x = (cmax_r[c, 0] - rox) * rix
+                t0y = (cmin_r[c, 1] - roy) * riy
+                t1y = (cmax_r[c, 1] - roy) * riy
+                t0z = (cmin_r[c, 2] - roz) * riz
+                t1z = (cmax_r[c, 2] - roz) * riz
+                tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                               jnp.minimum(t0y, t1y)),
+                                   jnp.minimum(t0z, t1z))
+                tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                               jnp.maximum(t0y, t1y)),
+                                   jnp.maximum(t0z, t1z))
+                needed = (tmax >= 0.0) & (tmin <= tmax) & (tmin < rt)
+
+                def hit(acc2):
+                    rt2, ri2 = acc2
+                    for g in range(TCHUNK // TGROUP):
+                        sl = tri_r[pl.ds(c * TCHUNK + g * TGROUP,
+                                         TGROUP), :]
+                        base_f = (c * TCHUNK + g * TGROUP).astype(
+                            jnp.float32)
+                        rt2, ri2 = moller_one_row(
+                            sl, base_f, rox, roy, roz, rdx, rdy, rdz,
+                            rt2, ri2)
+                    return rt2, ri2
+
+                return jax.lax.cond(jnp.any(needed), hit, lambda a: a,
+                                    (rt, ri))
+
+            rt, ri = jax.lax.fori_loop(rlo, rhi + 1, cbody,
+                                       (rbt0, rbi0))
+            sel = row_iota == r
+            bt = jnp.where(sel, jnp.broadcast_to(rt, shape), bt)
+            bi = jnp.where(sel, jnp.broadcast_to(ri, shape), bi)
+        return bt, bi
+
     # seed the running best with the analytic winner's t: mesh hits beyond
     # it lose the merge anyway (strict <), so chunk culling can reject
     # every chunk that starts behind the closest wall/floor hit.
@@ -750,10 +892,10 @@ def _mesh_best(tri_r, cmin_r, cmax_r, o, d, ta, ga, shape, n_tris: int,
         # dead lanes can't win: an empty window rejects every chunk
         bt0 = jnp.where(alive > 0.5, bt0, -FLT_MAX)
     bi0 = jnp.full(shape, FLT_MAX, jnp.float32)
-    # blocks taller than 8 rows can't run the compacted chunk loop (its
-    # dynamic row reads are vreg-local tpu.dynamic_gather axis=0 ops,
-    # which require exactly 8 sublanes) — unroll densely instead
-    if n_chunks <= 4 or shape[0] != 8:
+    # gather-mode dynamic row reads are vreg-local tpu.dynamic_gather
+    # axis=0 ops (exactly 8 sublanes); select-mode extraction works at
+    # any block height (ROW_EXTRACT)
+    if n_chunks <= 4 or (shape[0] != 8 and ROW_EXTRACT == "gather"):
         # small scenes: unroll chunks statically and trim the group loop
         # to the real triangle count (cornell: 38 tris -> 5 groups not 16)
         best = (bt0, bi0)
@@ -774,6 +916,8 @@ def _mesh_best(tri_r, cmin_r, cmax_r, o, d, ta, ga, shape, n_tris: int,
             else:
                 best = hit_chunk_s(best)
         bt, bi = best
+    elif (chunk_range is not None and cull and MESH_LOOP == "row"):
+        bt, bi = row_major_best(bt0, bi0)
     else:
         body = chunk_body_compact if cull else chunk_body
         if chunk_range is not None:

@@ -97,10 +97,13 @@ class RenderConfig:
     sort_rays: Any = None
     # coherence-sort placement granularity in LANES (engine.wavefront
     # .permute_by_key): the per-bounce permute gather is count-bound,
-    # so moving G lanes per gathered row cuts its cost ~G-fold (7.1 ->
-    # 2.7 ms/bounce at bunny scale, benchmarks/micro_permute.py) while
-    # groups — lanes already adjacent after the previous bounce's sort
-    # — keep tile chunk-unions tight. None = auto (4).
+    # so moving G lanes per gathered row cuts the PERMUTE ~G-fold (7.1
+    # -> 2.7 ms/bounce at bunny scale, benchmarks/micro_permute.py) —
+    # but grouped lanes stay chained across ALL bounces, and their
+    # post-scatter chunk ranges decorrelate, exploding tile chunk
+    # unions in the trace kernel: measured full-frame A/B (round 4)
+    # bunny 132.7 (G=1) vs 468.1 (G=4) / 557.0 (G=8); room 103.7 vs
+    # 323.4 / 361.3. None = auto (1, exact per-lane placement).
     sort_group: Any = None
     # fused temporal-reprojection + à-trous-level-1 kernel
     # (ops/pallas/reproject_atrous.py): the accumulated color never

@@ -11,15 +11,21 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+# Keep the axon TPU plugin OUT of test processes entirely: merely
+# initializing it (even with computations pinned to CPU) opens a tunnel
+# client that contends with any real TPU job — measured round 4: a
+# concurrent pytest run wedged the chip for ~40 min and polluted
+# profile numbers 2-5x. Must be set before jax imports.
+if os.environ.get("PTDN_TEST_TPU", "0") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import pathlib
 
 import jax
 import pytest
 
-# The axon TPU plugin registers itself as the default backend regardless of
-# JAX_PLATFORMS; pin test computations to host CPU for determinism and so
-# the suite runs without TPU access. Sharding tests grab the 8 virtual CPU
+# Belt and braces (e.g. PTDN_TEST_TPU runs): pin default computations
+# to host CPU for determinism; sharding tests grab the 8 virtual CPU
 # devices explicitly.
 if os.environ.get("PTDN_TEST_TPU", "0") != "1":
     try:

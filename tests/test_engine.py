@@ -442,3 +442,34 @@ def test_chunk_range_planes_supergroup_superset():
     assert empty.any()
     assert (lo[empty] == n_chunks).all()
     assert not any_c[empty].any()
+
+
+def test_sorted_wavefront_batched_permute_matches(monkeypatch):
+    """Sub-batched coherence permute (wavefront._GATHER_CLIFF): above
+    the gather cliff the wavefront is split into independently-sorted
+    contiguous row batches. Forcing a tiny cliff makes a 64x64 render
+    take the multi-batch path; since per-lane math is placement-
+    independent, radiance must match the single-batch render the same
+    way the sorted path matches the unsorted one."""
+    from ptdn_tpu.engine import wavefront as WF
+
+    scene = Scene("/root/reference/scenes/bunny.txt")
+
+    def render():
+        cfg = RenderConfig(backend="pallas", trace_depth=3,
+                           denoise_enable=False, fuse_path=False,
+                           fuse_bounce=True, sort_rays=True)
+        r = Renderer(scene, cfg, resolution=(64, 64))
+        left, _ = r.render_frame()
+        left2, _ = r.render_frame()
+        return np.asarray(left), np.asarray(left2)
+
+    a1, a2 = render()
+    # 64x64 = 4096 lanes, ~29 planes -> ~475 KB table; 128 KB cliff
+    # forces 4 batches
+    monkeypatch.setattr(WF, "_GATHER_CLIFF", 128 * 1024)
+    b1, b2 = render()
+    for a, b in ((a1, b1), (a2, b2)):
+        exact = (a == b).all(axis=-1).mean()
+        assert exact > 0.95, f"only {exact:.1%} of pixels exact"
+        assert np.max(np.abs(a - b)) < 1e-4
