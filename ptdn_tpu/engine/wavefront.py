@@ -593,6 +593,10 @@ def chunk_range_planes(ds, ox_, oy_, oz_, dx_, dy_, dz_, n_chunks_static,
 _GATHER_CLIFF = int(os.environ.get("PTDN_GATHER_CLIFF", 0) or
                     100 * 1024 * 1024)
 
+# coherence-sort key strategy (see permute_by_key); morton measured
+# best on every scene (round 4)
+SORT_KEY = os.environ.get("PTDN_SORT_KEY", "morton")
+
 
 def permute_by_key(ds, sh, pix, n, nb, n_chunks_static, do_vis,
                    light_pos=None, light_radius=None, group=1):
@@ -650,9 +654,45 @@ def permute_by_key(ds, sh, pix, n, nb, n_chunks_static, do_vis,
     nhi = jnp.where(alive, nhi, -1)
     slo = jnp.where(alive, slo, n_chunks_static)
     shi = jnp.where(alive, shi, -1)
-    key = nlo * ncp1 + jnp.maximum(nhi, 0)
-    if do_vis:
-        key = key * ncp1 + slo
+    # Sort-key strategy (PTDN_SORT_KEY): one permutation serves BOTH
+    # the next rays and the shadow rays, and their crossed ranges
+    # decorrelate (diag_ranges, room 1080p depth-3: next-first keying
+    # gives next tile-unions mean 6.4 but shadow 17.2/22 — vis then
+    # pays 2.4x the chunk visits of closest hit).
+    #   "morton" — bit-interleave of (nlo, slo) then (nhi, shi):
+    #              balances both unions. Round-4 A/B: bunny 125.1 /
+    #              room 89.8 / diamond 66.5 / room-1080p 595.8 vs
+    #              next-key 131.6 / 103.2 / 68.0 / 657.0 — DEFAULT.
+    #   "next"   — (nlo, nhi, slo): the historical key
+    #   "shadow" — (slo, shi, nlo): shadow-first (measured worse
+    #              everywhere: 134.5 / 129.4 / 70.4 / 803.8)
+    if do_vis and SORT_KEY != "next":
+        if SORT_KEY == "shadow":
+            key = (slo * ncp1 + jnp.maximum(shi, 0)) * ncp1 + nlo
+        else:
+            def to7(x):
+                # monotone squeeze into 7 bits (chunk IDs can reach 233
+                # on terrain30k; clamping would fold the top half of
+                # the scene into one bucket)
+                if n_chunks_static > 127:
+                    x = x * 127 // n_chunks_static
+                return jnp.clip(x, 0, 127)
+
+            def interleave(a, b):
+                a = to7(a)
+                b = to7(b)
+                m = jnp.int32(0)
+                for bit in range(7):
+                    m = m | (((a >> bit) & 1) << (2 * bit + 1))
+                    m = m | (((b >> bit) & 1) << (2 * bit))
+                return m
+            key = (interleave(nlo, slo) * jnp.int32(16384)
+                   + interleave(jnp.maximum(nhi, 0),
+                                jnp.maximum(shi, 0)))
+    else:
+        key = nlo * ncp1 + jnp.maximum(nhi, 0)
+        if do_vis:
+            key = key * ncp1 + slo
     key = jnp.where(alive, key, jnp.int32(1 << 30))
     G = int(group) if group else 1
     if G > 1 and 128 % G:

@@ -51,6 +51,16 @@ SUBCHUNK = os.environ.get("PTDN_SUBCHUNK", "off")
 #             cond skips rows that don't cross the chunk at all.
 MESH_LOOP = os.environ.get("PTDN_MESH_LOOP", "chunk")
 
+# Admitted-chunk resolve style:
+#   "compact" — needing-row loop (dynamic fori over [r_lo, r_hi], one
+#               row extract + 16 straight-line groups per row)
+#   "dense"   — whole-tile moller_rows/any_hit_chunk (all 8 rows
+#               straight-line, shared triangle slices, no per-row
+#               scalar machinery) behind the per-chunk slab cond
+# Per-row scalar overhead ~0.3 us vs ~1.2 us of extra vector work for
+# a dense 8-row sweep: dense should win once >=3-4 rows need the chunk.
+RESOLVE = os.environ.get("PTDN_RESOLVE", "compact")
+
 # Dynamic row extract inside the needing-row loops:
 #   "select" — masked sublane reduction (any block height)
 #   "gather" — take_along_axis(axis=0) = tpu.dynamic_gather, vreg-local:
@@ -357,7 +367,8 @@ def light_visibility_tiles(o, d, vis_refs, shape, *, geom_types,
         # gather-mode dynamic row reads are vreg-local (8 sublanes):
         # taller blocks (the 32-row whole-path kernel) must then take
         # the dense branch; select-mode extraction frees the height
-        if n_chunks <= 4 or (shape[0] != 8 and ROW_EXTRACT == "gather"):
+        if (n_chunks <= 4 or (shape[0] != 8 and ROW_EXTRACT == "gather")
+                or RESOLVE == "dense"):
             relevant_t = jnp.where(lit > 0.5, ta, -FLT_MAX)
             lit = jax.lax.cond(chunk_cull(c, relevant_t),
                                lambda l: any_hit_chunk(c, l),
@@ -919,7 +930,8 @@ def _mesh_best(tri_r, cmin_r, cmax_r, o, d, ta, ga, shape, n_tris: int,
     elif (chunk_range is not None and cull and MESH_LOOP == "row"):
         bt, bi = row_major_best(bt0, bi0)
     else:
-        body = chunk_body_compact if cull else chunk_body
+        body = (chunk_body_compact if (cull and RESOLVE != "dense")
+                else chunk_body)
         if chunk_range is not None:
             # scan only the tile's union crossed-ID range (array order
             # within it, so cross-chunk t-tie-breaking matches the
