@@ -164,6 +164,8 @@ def bounce_fused_pallas(planes_in, params_vec, frame_plus_depth, ds,
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         grid=(nb // RROWS,),
         in_specs=[plane_in_spec,
                   pl.BlockSpec((1, 8), lambda i: (0, 0),
@@ -346,6 +348,12 @@ def trace_bounce_pallas(planes_in, params_vec, ds,
         out_shape += [jax.ShapeDtypeStruct((nb, 128), jnp.int32)] * 3
     outs = pl.pallas_call(
         kern,
+        # large-mesh scenes blow the 16 MB default scoped-vmem limit
+        # (terrain30k: 1.4 MB tri table + 3.8 MB attr table + block
+        # operands = 18.6 MB); v5e takes much higher limits fine
+        # (the a-trous kernel runs with 100 MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         grid=(nb // TRACE_ROWS,),
         in_specs=[plane_in_spec,
                   pl.BlockSpec((1, 8), lambda i: (0, 0),

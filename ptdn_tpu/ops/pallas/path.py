@@ -300,6 +300,8 @@ def path_trace_fused_pallas(planes_in, params_vec, frame_lane0, ds,
                                            jnp.int32)] * 3
     outs = pl.pallas_call(
         kern,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         grid=(nb // rows,),
         in_specs=[pin,
                   pl.BlockSpec((1, 8), lambda i: (0, 0),

@@ -61,6 +61,10 @@ MESH_LOOP = os.environ.get("PTDN_MESH_LOOP", "chunk")
 # a dense 8-row sweep: dense should win once >=3-4 rows need the chunk.
 RESOLVE = os.environ.get("PTDN_RESOLVE", "compact")
 
+# Hoist per-chunk triangle-group slices out of the needing-row loop
+# (1, default) vs re-slice per (row, group) (0) — A/B knob.
+TRI_HOIST = os.environ.get("PTDN_TRI_HOIST", "1") == "1"
+
 # Dynamic row extract inside the needing-row loops:
 #   "select" — masked sublane reduction (any block height)
 #   "gather" — take_along_axis(axis=0) = tpu.dynamic_gather, vreg-local:
@@ -251,13 +255,22 @@ def light_visibility_tiles(o, d, vis_refs, shape, *, geom_types,
 
         def do(lit):
             row_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+            # hoist the 16 dynamic tri-group slices out of the row
+            # loop: every needing row reads the SAME chunk, so slicing
+            # per (row, group) re-pays the dynamic VMEM addressing
+            # needing_rows times (16 x [8,12] = 16 vregs live)
+            sls = ([tri_r[pl.ds(c * TCHUNK + g * TGROUP, TGROUP), :]
+                    for g in range(TCHUNK // TGROUP)]
+                   if TRI_HOIST and SUBCHUNK != "tile" else None)
 
             def row_body(r, occ):
                 rox, roy, roz, rdx, rdy, rdz, rta = _extract_row(
                     (ox, oy, oz, dx, dy, dz, ta), r, shape)
 
                 def one_group(g, ro):
-                    sl = tri_r[pl.ds(c * TCHUNK + g * TGROUP, TGROUP), :]
+                    sl = (sls[g] if sls is not None else
+                          tri_r[pl.ds(c * TCHUNK + g * TGROUP,
+                                      TGROUP), :])
                     return occ_one_row(sl, rox, roy, roz, rdx, rdy, rdz,
                                        rta, ro)
 
@@ -419,6 +432,8 @@ def light_visibility_pallas(ds, geom_types, o, d, n_tris: int,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         kern,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         grid=(nb // RROWS,),
         in_specs=[ray_spec] * 6 + [smem] * 5 + [full] + [smem] * 2,
         out_specs=ray_spec,
@@ -799,6 +814,10 @@ def _mesh_best(tri_r, cmin_r, cmax_r, o, d, ta, ga, shape, n_tris: int,
 
         def do(best):
             row_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+            # hoisted tri-group slices: see chunk_occlusion
+            sls = ([tri_r[pl.ds(c * TCHUNK + g * TGROUP, TGROUP), :]
+                    for g in range(TCHUNK // TGROUP)]
+                   if TRI_HOIST and SUBCHUNK != "tile" else None)
 
             def row_body(r, acc):
                 ct, ci = acc
@@ -807,7 +826,9 @@ def _mesh_best(tri_r, cmin_r, cmax_r, o, d, ta, ga, shape, n_tris: int,
 
                 def one_group(g, acc2):
                     rt, ri = acc2
-                    sl = tri_r[pl.ds(c * TCHUNK + g * TGROUP, TGROUP), :]
+                    sl = (sls[g] if sls is not None else
+                          tri_r[pl.ds(c * TCHUNK + g * TGROUP,
+                                      TGROUP), :])
                     base_f = (c * TCHUNK + g * TGROUP).astype(jnp.float32)
                     return moller_one_row(sl, base_f, rox, roy, roz,
                                           rdx, rdy, rdz, rt, ri)
@@ -1222,6 +1243,8 @@ def scene_intersect_full_tex_pallas(ds, geom_types, geom_mats, o, d,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
         kern,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         grid=(nb // RROWS,),
         in_specs=[ray_spec] * 6 + [smem] * 5 + [full] + [smem] * 2 + [full],
         out_specs=[ray_spec] * 12,
@@ -1270,6 +1293,8 @@ def scene_intersect_full_pallas(ds, geom_types, geom_mats, o, d,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
         kern,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         grid=(nb // RROWS,),
         in_specs=[ray_spec] * 6 + [smem] * 5 + [full] + [smem] * 2 + [full],
         out_specs=[ray_spec] * 8,
@@ -1321,6 +1346,8 @@ def scene_intersect_pallas(ds, geom_types, o, d, n_tris: int,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
         kern,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         grid=(nb // RROWS,),
         in_specs=[ray_spec] * 6 + [smem] * 5 + [full] + [smem] * 2,
         out_specs=[ray_spec] * 7,
