@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ptdn_tpu.ops.pallas.scene_intersect import (chunk_aabb_ops,
+from ptdn_tpu.ops.pallas.scene_intersect import (_vmem_kw,
+                                                 chunk_aabb_ops,
                                                  closest_hit_tiles,
                                                  light_visibility_tiles)
 from ptdn_tpu.ops.pallas.shade import (_IN_KEYS, _fd2, lane_seed, pix_seed,
@@ -164,8 +165,7 @@ def bounce_fused_pallas(planes_in, params_vec, frame_plus_depth, ds,
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+        **_vmem_kw(n_tris),
         grid=(nb // RROWS,),
         in_specs=[plane_in_spec,
                   pl.BlockSpec((1, 8), lambda i: (0, 0),
@@ -352,8 +352,7 @@ def trace_bounce_pallas(planes_in, params_vec, ds,
         # (terrain30k: 1.4 MB tri table + 3.8 MB attr table + block
         # operands = 18.6 MB); v5e takes much higher limits fine
         # (the a-trous kernel runs with 100 MB)
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+        **_vmem_kw(n_tris),
         grid=(nb // TRACE_ROWS,),
         in_specs=[plane_in_spec,
                   pl.BlockSpec((1, 8), lambda i: (0, 0),

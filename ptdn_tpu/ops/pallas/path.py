@@ -52,7 +52,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ptdn_tpu.ops.pallas.compact import (tile_gather_compact, tile_route,
                                          tile_uncompact)
-from ptdn_tpu.ops.pallas.scene_intersect import (chunk_aabb_ops,
+from ptdn_tpu.ops.pallas.scene_intersect import (_vmem_kw,
+                                                 chunk_aabb_ops,
                                                  closest_hit_tiles,
                                                  light_visibility_tiles,
                                                  tex_index_tiles)
@@ -300,8 +301,7 @@ def path_trace_fused_pallas(planes_in, params_vec, frame_lane0, ds,
                                            jnp.int32)] * 3
     outs = pl.pallas_call(
         kern,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+        **_vmem_kw(n_tris),
         grid=(nb // rows,),
         in_specs=[pin,
                   pl.BlockSpec((1, 8), lambda i: (0, 0),

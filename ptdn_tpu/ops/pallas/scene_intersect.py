@@ -97,6 +97,18 @@ TCHUNK = 128
 TGROUP = 8
 
 
+def _vmem_kw(n_tris):
+    """compiler_params kwargs for mesh-path pallas calls: raise the
+    scoped-vmem limit ONLY for large meshes (terrain30k's 1.4 MB tri +
+    3.8 MB attr tables + block operands blow the 16 MB default). Kept
+    conditional because a raised limit can change Mosaic scheduling for
+    everything else — the headline scene must keep the default."""
+    if n_tris > 8192:
+        return {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)}
+    return {}
+
+
 def chunk_aabb_ops(ds, n_tris):
     """Chunk-AABB kernel operands + chunk count. The (5C, 3) device
     table carries 4 sub-chunk AABBs per chunk after row C; with
@@ -432,8 +444,7 @@ def light_visibility_pallas(ds, geom_types, o, d, n_tris: int,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         kern,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+        **_vmem_kw(n_tris),
         grid=(nb // RROWS,),
         in_specs=[ray_spec] * 6 + [smem] * 5 + [full] + [smem] * 2,
         out_specs=ray_spec,
@@ -1243,8 +1254,7 @@ def scene_intersect_full_tex_pallas(ds, geom_types, geom_mats, o, d,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
         kern,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+        **_vmem_kw(n_tris),
         grid=(nb // RROWS,),
         in_specs=[ray_spec] * 6 + [smem] * 5 + [full] + [smem] * 2 + [full],
         out_specs=[ray_spec] * 12,
@@ -1293,8 +1303,7 @@ def scene_intersect_full_pallas(ds, geom_types, geom_mats, o, d,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
         kern,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+        **_vmem_kw(n_tris),
         grid=(nb // RROWS,),
         in_specs=[ray_spec] * 6 + [smem] * 5 + [full] + [smem] * 2 + [full],
         out_specs=[ray_spec] * 8,
@@ -1346,8 +1355,7 @@ def scene_intersect_pallas(ds, geom_types, o, d, n_tris: int,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
         kern,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+        **_vmem_kw(n_tris),
         grid=(nb // RROWS,),
         in_specs=[ray_spec] * 6 + [smem] * 5 + [full] + [smem] * 2,
         out_specs=[ray_spec] * 7,
