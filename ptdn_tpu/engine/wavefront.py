@@ -388,10 +388,15 @@ def albedo_from_tilepack(ds, mv, comp3, interpret: bool):
     the per-row-cap sparse path (albedo_from), this cannot overflow:
     sorted-wavefront order clusters textured lanes into dense rows that
     blow any per-row cap and forced the dense fallback every bounce."""
-    from ptdn_tpu.ops.pallas.bounce import TRACE_ROWS
+    from ptdn_tpu.ops.pallas.bounce import trace_rows
     sl, cv, cn = comp3
+    # must match the emitting trace kernel's block height (same nb ->
+    # same auto-selection)
+    rows = trace_rows(sl.shape[0])
+    if sl.shape[0] % rows:
+        rows = 8
     packed = packed_texel_gather(ds, sl[None], cv[None], cn[None],
-                                 interpret, rrows=TRACE_ROWS)[0]
+                                 interpret, rrows=rows)[0]
     nb = sl.shape[0]
     n = nb * 128
     packed = packed.reshape(n)

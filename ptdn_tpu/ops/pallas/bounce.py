@@ -43,9 +43,18 @@ RROWS = 8
 # Block height of the SORTED-path trace kernel (visibility + closest
 # hit). 8 was forced by the gather-mode dynamic row extract
 # (vreg-local, exactly 8 sublanes); select-mode extraction
-# (scene_intersect.ROW_EXTRACT) frees it — 32-row blocks amortize
-# per-block fixed costs 4x (the whole-path kernel's measured 25% win).
-TRACE_ROWS = int(os.environ.get("PTDN_TRACE_ROWS", "8"))
+# (scene_intersect.ROW_EXTRACT) frees it. Round-4 A/B: 32-row blocks
+# win at 1080p (599.8 -> 578.9 — per-block fixed costs amortize over
+# 2025 blocks) but LOSE on bunny (121.6 -> 129.4 — wider tiles
+# quadruple the chunk-union span on a 39-chunk scene), so the height
+# auto-selects by wavefront size; PTDN_TRACE_ROWS pins it for A/B.
+_TR_ENV = os.environ.get("PTDN_TRACE_ROWS")
+
+
+def trace_rows(nb: int) -> int:
+    if _TR_ENV:
+        return int(_TR_ENV)
+    return 32 if nb * 128 >= 1_000_000 else 8
 N_BIN = 22
 N_BOUT = 21
 # output plane indices (engine-side consumers)
@@ -198,14 +207,14 @@ def _trace_kernel(inp, par_ref,
                   geom_types, geom_mats, n_tris, n_chunks, cull,
                   compat, light_geom, do_vis, light_emit, has_fc,
                   emit_tex=False, mat_texids=(), tex_whs=(),
-                  atlas_hw=(1, 1)):
+                  atlas_hw=(1, 1), rrows=8):
     from ptdn_tpu.ops.pallas.shade import (O_ACT, O_CB, O_CG, O_CR, O_DIF,
                                            O_DX, O_DY, O_DZ, O_NEE, O_RB,
                                            O_RG, O_RR, O_SDX, O_SDY, O_SDZ,
                                            O_SPX, O_SPY, O_SPZ, O_TB, O_TG,
                                            O_TR)
 
-    shape = (TRACE_ROWS, 128)
+    shape = (rrows, 128)
     spx, spy, spz = inp[O_SPX], inp[O_SPY], inp[O_SPZ]
     dx, dy, dz = inp[O_DX], inp[O_DY], inp[O_DZ]
     act = inp[O_ACT]
@@ -321,25 +330,28 @@ def trace_bounce_pallas(planes_in, params_vec, ds,
     n_in = planes_in.shape[0]
     cmin_op, cmax_op, n_chunks = chunk_aabb_ops(ds, n_tris)
     atlas_hw = (int(ds.tex_atlas.shape[1]), int(ds.tex_atlas.shape[2]))
+    rows = trace_rows(nb)
+    if nb % rows:
+        rows = 8
+    if nb % rows:
+        raise ValueError(f"trace block height {rows} must divide "
+                         f"nb={nb} (lanes are padded to 4096 multiples "
+                         f"in make_trace_fn)")
     kern = functools.partial(
         _trace_kernel, geom_types=tuple(geom_types),
         geom_mats=tuple(geom_mats), n_tris=n_tris, n_chunks=n_chunks,
         cull=cull, compat=compat, light_geom=light_geom, do_vis=do_vis,
         light_emit=tuple(float(x) for x in light_emit), has_fc=has_fc,
         emit_tex=emit_tex, mat_texids=tuple(mat_texids),
-        tex_whs=tuple(tex_whs), atlas_hw=atlas_hw)
-    if nb % TRACE_ROWS:
-        raise ValueError(f"trace block height {TRACE_ROWS} must divide "
-                         f"nb={nb} (lanes are padded to 4096 multiples "
-                         f"in make_trace_fn)")
-    plane_in_spec = pl.BlockSpec((n_in, TRACE_ROWS, 128),
+        tex_whs=tuple(tex_whs), atlas_hw=atlas_hw, rrows=rows)
+    plane_in_spec = pl.BlockSpec((n_in, rows, 128),
                                  lambda i: (0, i, 0),
                                  memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    ray_spec = pl.BlockSpec((TRACE_ROWS, 128), lambda i: (i, 0),
+    ray_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    out_specs = [pl.BlockSpec((N_BOUT, TRACE_ROWS, 128),
+    out_specs = [pl.BlockSpec((N_BOUT, rows, 128),
                               lambda i: (0, i, 0),
                               memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((N_BOUT, nb, 128), jnp.float32)]
@@ -353,7 +365,7 @@ def trace_bounce_pallas(planes_in, params_vec, ds,
         # operands = 18.6 MB); v5e takes much higher limits fine
         # (the a-trous kernel runs with 100 MB)
         **_vmem_kw(n_tris),
-        grid=(nb // TRACE_ROWS,),
+        grid=(nb // rows,),
         in_specs=[plane_in_spec,
                   pl.BlockSpec((1, 8), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
