@@ -574,7 +574,12 @@ def chunk_range_planes(ds, ox_, oy_, oz_, dx_, dy_, dz_, n_chunks_static,
     if n_chunks_static <= 64:
         return slab_ranges(cmin, cmax, n_chunks_static, n_chunks_static)
 
-    G = 8
+    # supergroup granularity: small G = tighter ranges (less
+    # rounding: returned ranges widen by up to 2(G-1) chunks) at more
+    # unrolled slab work; keep the unrolled count near the 64-chunk
+    # budget that compiles safely (233 fully-unrolled wedged terrain)
+    G = int(os.environ.get("PTDN_SUPER_G", 0) or
+            max(2, -(-n_chunks_static // 64)))
     n_super = -(-n_chunks_static // G)
     cm = cmin[:n_chunks_static]
     cM = cmax[:n_chunks_static]
