@@ -534,11 +534,12 @@ def chunk_range_planes(ds, ox_, oy_, oz_, dx_, dy_, dz_, n_chunks_static,
     drops to ~2-4 trips).
 
     Past 64 chunks the per-chunk test runs at SUPERGROUP granularity
-    instead (AABBs of 8 consecutive chunks, rounded to [slo*8,
-    shi*8+7]): crossed(chunk) implies crossed(its supergroup), so the
+    instead (union AABBs of G consecutive chunks, G adaptive =
+    max(2, ceil(n/64)) or env PTDN_SUPER_G, rounded to [slo*G,
+    shi*G+G-1]): crossed(chunk) implies crossed(its supergroup), so the
     returned range is still an exact superset, while both the unrolled
     XLA graph (233 chunks x 2 calls x 8 bounces wedged the terrain30k
-    compile) and the per-frame slab work drop 8x."""
+    compile) and the per-frame slab work drop ~Gx."""
     inx = 1.0 / dx_
     iny = 1.0 / dy_
     inz = 1.0 / dz_
@@ -606,6 +607,11 @@ _GATHER_CLIFF = int(os.environ.get("PTDN_GATHER_CLIFF", 0) or
 # coherence-sort key strategy (see permute_by_key); morton measured
 # best on every scene (round 4)
 SORT_KEY = os.environ.get("PTDN_SORT_KEY", "morton")
+
+# set at trace time by permute_by_key: number of contiguous row
+# batches the last-built permute used (tests assert the multi-batch
+# path is actually exercised)
+_LAST_PERMUTE_SPANS = None
 
 
 def permute_by_key(ds, sh, pix, n, nb, n_chunks_static, do_vis,
@@ -733,6 +739,8 @@ def permute_by_key(ds, sh, pix, n, nb, n_chunks_static, do_vis,
     while r0 < nb:
         spans.append((r0, min(r0 + rb, nb)))
         r0 += rb
+    global _LAST_PERMUTE_SPANS   # trace-time introspection for tests
+    _LAST_PERMUTE_SPANS = len(spans)
 
     def one_batch(allp_b, key_b, nb_b):
         nB = nb_b * 128

@@ -2,6 +2,8 @@
 semantics, determinism, config behavior. Small resolutions keep the CPU
 suite fast."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -431,9 +433,12 @@ def test_chunk_range_planes_supergroup_superset():
     assert (hi[any_c] >= true_hi[any_c]).all()
     # returned bounds are supergroup-aligned (crossing a union box
     # without crossing member chunks can widen them further — still a
-    # valid superset, the in-kernel per-lane window culls stay exact)
-    assert (lo % 8 == 0).all() or (lo == n_chunks).any()
-    assert ((hi % 8 == 7) | (hi == n_chunks - 1) | (hi == -1)).all()
+    # valid superset, the in-kernel per-lane window culls stay exact).
+    # G mirrors chunk_range_planes' adaptive choice (env-overridable).
+    G = int(os.environ.get("PTDN_SUPER_G", 0) or
+            max(2, -(-n_chunks // 64)))
+    assert ((lo % G == 0) | (lo == n_chunks)).all()
+    assert ((hi % G == G - 1) | (hi == n_chunks - 1) | (hi == -1)).all()
     # bounds stay in range; a lane reported empty truly crosses nothing
     # (the converse doesn't hold: a ray can cross a union box while
     # missing every member chunk and get a non-empty range)
@@ -459,16 +464,21 @@ def test_sorted_wavefront_batched_permute_matches(monkeypatch):
         cfg = RenderConfig(backend="pallas", trace_depth=3,
                            denoise_enable=False, fuse_path=False,
                            fuse_bounce=True, sort_rays=True)
-        r = Renderer(scene, cfg, resolution=(64, 64))
+        r = Renderer(scene, cfg, resolution=(128, 128))
         left, _ = r.render_frame()
         left2, _ = r.render_frame()
         return np.asarray(left), np.asarray(left2)
 
     a1, a2 = render()
-    # 64x64 = 4096 lanes, ~29 planes -> ~475 KB table; 128 KB cliff
-    # forces 4 batches
+    assert WF._LAST_PERMUTE_SPANS == 1
+    # 128x128 = 16384 lanes, ~33 planes -> ~2.1 MB table; 128 KB cliff
+    # forces rb=32 of nb=128 rows -> 4 batches (rb rounds to 32-row
+    # multiples, so 64x64's nb=32 would stay single-span — the batch
+    # split must actually engage for this test to mean anything)
     monkeypatch.setattr(WF, "_GATHER_CLIFF", 128 * 1024)
     b1, b2 = render()
+    assert WF._LAST_PERMUTE_SPANS > 1, \
+        f"multi-batch path not exercised (spans={WF._LAST_PERMUTE_SPANS})"
     for a, b in ((a1, b1), (a2, b2)):
         exact = (a == b).all(axis=-1).mean()
         assert exact > 0.95, f"only {exact:.1%} of pixels exact"
