@@ -20,6 +20,10 @@ Commands (reference bindings in parentheses):
   run / pause  toggle continuous rendering (Run checkbox)
   save         saveImage() naming + flip (S key, main.cpp:131-152)
   q            save + quit (Esc)
+
+In tty watch mode, word commands are typed with a ':' prefix
+(``:reset``, ``:sigma_l 0.7``, ``:save`` + Enter) so hotkeys keep
+firing on the bare keypress; over a pipe, plain lines work as-is.
 """
 
 from __future__ import annotations
@@ -40,8 +44,10 @@ def _stdin_poll_factory():
     On a real tty, the terminal is switched to cbreak so single
     keypresses (orbit/pan/toggles) act immediately without Enter —
     matching the reference's key-repeat steering (main.cpp:231-257);
-    multi-word commands (e.g. ``sigma_l 0.7``) are accumulated until
-    Enter. On pipes/files the poll stays line-based."""
+    typed word commands open with ':' (e.g. ``:sigma_l 0.7``,
+    ``:reset``) and are accumulated until Enter — the ':' prefix keeps
+    them reachable even when their first char is a hotkey. On
+    pipes/files the poll stays line-based (no prefix needed)."""
     import select
 
     if not sys.stdin.isatty():
@@ -64,10 +70,18 @@ def _stdin_poll_factory():
         if not ready:
             return None
         ch = sys.stdin.read(1)
-        if not buf and ch in _SINGLE_KEYS:
-            return ch
+        if not buf:
+            # ':' opens a typed command (vim-style) so word commands
+            # whose first char is also a hotkey ('reset'/'r',
+            # 'sigma_l'/'s', 'depth'/'d', 'save', 'step', 'run') stay
+            # reachable in cbreak mode; bare hotkeys act immediately
+            if ch == ":":
+                buf.append(ch)
+                return None
+            if ch in _SINGLE_KEYS:
+                return ch
         if ch in ("\n", "\r"):
-            s = "".join(buf)
+            s = "".join(buf).lstrip(":")
             buf.clear()
             return s
         buf.append(ch)

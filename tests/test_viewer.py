@@ -83,6 +83,54 @@ def test_stdin_poll_factory_line_mode(monkeypatch, tmp_path):
         assert poll() == ".\n"
 
 
+def test_stdin_poll_factory_cbreak_colon_commands(monkeypatch):
+    """tty cbreak mode: bare hotkeys dispatch on keypress, and ':'
+    opens a typed command so words whose first char is a hotkey
+    ('reset', 'sigma_l', 'save') stay reachable (round-4 advisor:
+    'r'/'s'/'d' shadowed every such command)."""
+    import os as _os
+    import pty as _pty
+    import sys as _sys
+
+    from ptdn_tpu.app.viewer import _stdin_poll_factory
+
+    master, slave = _pty.openpty()
+    try:
+        with _os.fdopen(slave, "r+b", buffering=0) as raw:
+            import io as _io
+
+            fh = _io.TextIOWrapper(raw, encoding="ascii",
+                                   write_through=True)
+            monkeypatch.setattr(_sys, "stdin", fh)
+            poll, restore = _stdin_poll_factory()
+            assert restore is not None
+            try:
+                def feed(s):
+                    # one char per write+poll: keystrokes arrive one at
+                    # a time (bulk writes sit in the TextIOWrapper's
+                    # readahead where select can't see them)
+                    out = []
+                    for ch in s:
+                        _os.write(master, ch.encode())
+                        got = poll()
+                        if got is not None:
+                            out.append(got)
+                    return out
+
+                assert feed("r") == ["r"]          # hotkey: immediate
+                assert feed(".") == ["."]
+                # ':'-prefixed words accumulate until Enter and come
+                # back stripped of the prefix
+                assert feed(":reset\n") == ["reset"]
+                assert feed(":sigma_l 0.7\n") == ["sigma_l 0.7"]
+                # non-hotkey first chars still work without ':'
+                assert feed("orbit 1\n") == ["orbit 1"]
+            finally:
+                restore()
+    finally:
+        _os.close(master)
+
+
 def test_toggles_and_debug_view(viewer_factory):
     v, r, _ = viewer_factory()
     v.running = False
