@@ -166,8 +166,12 @@ def main():
     ap.add_argument("--stages", action="store_true",
                     help="also emit per-stage ms decomposition per config")
     ap.add_argument("--gt-frames", type=int, default=5000)
-    ap.add_argument("--scenes-dir", default="/root/reference/scenes")
+    ap.add_argument("--scenes-dir", default=None, help="scene dir (default: PTDN_SCENES_DIR or the vendored <repo>/scenes)")
     args = ap.parse_args()
+
+    if args.scenes_dir is None:
+        from ptdn_tpu.utils.assets import scenes_dir as _sd
+        args.scenes_dir = str(_sd())
 
     from ptdn_tpu.utils.config import RenderConfig
 

@@ -35,7 +35,9 @@ if os.environ.get("PTDN_TEST_TPU", "0") != "1":
 jax.config.update("jax_default_matmul_precision", "highest")
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
-SCENES = pathlib.Path("/root/reference/scenes")
+# vendored fixtures (scenes/PROVENANCE.md) keep the suite self-contained;
+# PTDN_SCENES_DIR points it at another copy (e.g. the upstream originals)
+SCENES = pathlib.Path(os.environ.get("PTDN_SCENES_DIR", REPO / "scenes"))
 
 
 @pytest.fixture(scope="session")

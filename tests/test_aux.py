@@ -9,12 +9,16 @@ from ptdn_tpu.utils.checkpoint import load_state, restore_renderer, save_state
 from ptdn_tpu.utils.config import RenderConfig
 from ptdn_tpu.utils.stats import StatsCollector
 
+from ptdn_tpu.utils.assets import scenes_dir
+
+scene_path_str = str(scenes_dir())
+
 RES = (64, 64)
 
 
 @pytest.fixture(scope="module")
 def cornell():
-    return Scene("/root/reference/scenes/cornell.txt")
+    return Scene(scene_path_str + "/cornell.txt")
 
 
 def test_checkpoint_resume_bitexact(cornell, tmp_path):

@@ -14,12 +14,16 @@ from ptdn_tpu.engine.wavefront import make_intersector, sample_texture
 from ptdn_tpu.scene import Scene
 from ptdn_tpu.utils.config import RenderConfig
 
+from ptdn_tpu.utils.assets import scenes_dir
+
+scene_path_str = str(scenes_dir())
+
 RES = (96, 96)
 
 
 @pytest.fixture(scope="module")
 def cornell():
-    return Scene("/root/reference/scenes/cornell.txt")
+    return Scene(scene_path_str + "/cornell.txt")
 
 
 def test_primary_intersection_gbuffer(cornell):
@@ -152,7 +156,7 @@ def test_miss_semantics(cornell):
 
 
 def test_refractive_scene_runs():
-    s = Scene("/root/reference/scenes/diamond.txt")
+    s = Scene(scene_path_str + "/diamond.txt")
     r = Renderer(s, RenderConfig(denoise_enable=False), resolution=(64, 64))
     left, _ = r.render(2)
     assert not np.isnan(left).any()
@@ -168,7 +172,7 @@ def test_sorted_wavefront_matches_unsorted():
     lanes — observed max 9e-6 on 0.5% of pixels; any REAL divergence
     (wrong RNG stream, mis-routed lane, broken unsort) is orders of
     magnitude larger)."""
-    scene = Scene("/root/reference/scenes/bunny.txt")
+    scene = Scene(scene_path_str + "/bunny.txt")
 
     def render(sort):
         cfg = RenderConfig(backend="pallas", trace_depth=3,
@@ -458,7 +462,7 @@ def test_sorted_wavefront_batched_permute_matches(monkeypatch):
     way the sorted path matches the unsorted one."""
     from ptdn_tpu.engine import wavefront as WF
 
-    scene = Scene("/root/reference/scenes/bunny.txt")
+    scene = Scene(scene_path_str + "/bunny.txt")
 
     def render():
         cfg = RenderConfig(backend="pallas", trace_depth=3,

@@ -32,6 +32,10 @@ from ptdn_tpu.engine import Renderer
 from ptdn_tpu.scene import Scene
 from ptdn_tpu.utils.config import RenderConfig
 
+from ptdn_tpu.utils.assets import scenes_dir
+
+scene_path_str = str(scenes_dir())
+
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 
 _SVGF = dict(denoise_enable=True, temporal_enable=True,
@@ -75,7 +79,7 @@ PALLAS_SCENES = dict(SCENES, cornell_svgf_anim_slow="cornell",
 
 
 def _render(backend, cfgkw, scene="cornell", frames=3):
-    s = Scene(f"/root/reference/scenes/{scene}.txt")
+    s = Scene(f"{scene_path_str}/{scene}.txt")
     cfg = RenderConfig(backend=backend, **cfgkw)
     r = Renderer(s, cfg, resolution=(64, 64))
     auto = CameraAutomation(cfg)

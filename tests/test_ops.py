@@ -11,6 +11,10 @@ from ptdn_tpu.ops import bsdf, intersect, rng
 from ptdn_tpu.ops.bvh_traverse import mesh_brute_force, mesh_bvh_batched
 from ptdn_tpu.ops.camera import OrbitCamera, generate_camera_rays, view_matrix
 
+from ptdn_tpu.utils.assets import scenes_dir
+
+scene_path_str = str(scenes_dir())
+
 
 # ---------------- RNG ----------------
 
@@ -208,7 +212,7 @@ def test_scatter_rng_stream_parity():
 def test_orbit_camera_cornell():
     from ptdn_tpu.scene import Scene
 
-    s = Scene("/root/reference/scenes/cornell.txt")
+    s = Scene(scene_path_str + "/cornell.txt")
     cam = OrbitCamera(s.camera)
     fr = cam.frame()
     # cornell: EYE (0,5,10.5) LOOKAT (0,5,0) -> reconstruction is exact
@@ -225,7 +229,7 @@ def test_orbit_camera_cornell():
 def test_view_matrix_roundtrip():
     from ptdn_tpu.scene import Scene
 
-    s = Scene("/root/reference/scenes/cornell.txt")
+    s = Scene(scene_path_str + "/cornell.txt")
     fr = OrbitCamera(s.camera).frame()
     vm = view_matrix(fr)
     p_world = np.array([1.0, 2.0, -3.0, 1.0], np.float32)
@@ -292,7 +296,7 @@ def test_mesh_compact_path_parity():
     from ptdn_tpu.scene import Scene
     from ptdn_tpu.utils.config import RenderConfig
 
-    scene = Scene("/root/reference/scenes/bunny.txt")
+    scene = Scene(scene_path_str + "/bunny.txt")
     assert scene.n_tris > 512  # exercises the compacted (>4 chunks) path
     ds = scene.device()
     isect_p = WF.make_intersector(scene, RenderConfig(backend="pallas"))

@@ -19,6 +19,10 @@ from ptdn_tpu.parallel.sharded import make_sharded_step
 from ptdn_tpu.scene import Scene
 from ptdn_tpu.utils.config import RenderConfig
 
+from ptdn_tpu.utils.assets import scenes_dir
+
+scene_path_str = str(scenes_dir())
+
 RES = (48, 64)  # W x H ; H divides 8
 
 
@@ -32,7 +36,7 @@ def cpu_mesh():
 
 @pytest.fixture(scope="module")
 def scene():
-    return Scene("/root/reference/scenes/cornell.txt")
+    return Scene(scene_path_str + "/cornell.txt")
 
 
 def _inputs(scene, cfg):
@@ -93,7 +97,7 @@ def test_sharded_sorted_mesh_config_matches_single_device(cpu_mesh):
     denoiser vs single-chip pallas kernels)."""
     from ptdn_tpu.engine.wavefront import set_pallas_interpret
 
-    room = Scene("/root/reference/scenes/room.txt")
+    room = Scene(scene_path_str + "/room.txt")
     cfg = RenderConfig(denoise_enable=True, temporal_enable=True,
                        spatial_enable=True, trace_depth=2, atrous_nlevel=2,
                        backend="pallas")

@@ -14,10 +14,14 @@ from ptdn_tpu.engine import Renderer
 from ptdn_tpu.scene import Scene
 from ptdn_tpu.utils.config import RenderConfig
 
+from ptdn_tpu.utils.assets import scenes_dir
+
+scene_path_str = str(scenes_dir())
+
 
 @pytest.fixture(scope="module")
 def viewer_factory(tmp_path_factory):
-    scene = Scene("/root/reference/scenes/cornell.txt")
+    scene = Scene(scene_path_str + "/cornell.txt")
 
     def make():
         cfg = RenderConfig(backend="xla", trace_depth=2,
