@@ -60,6 +60,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    default="color")
     # engine
     p.add_argument("--backend", choices=["xla", "pallas"], default="pallas")
+    p.add_argument("--native", action="store_true",
+                   help="compat=False: fix replicated reference quirks "
+                        "where a fix exists (PARITY.md section 2 — true "
+                        "barycentric normals, SVGF-paper spatial "
+                        "variance instead of the 10.0 stub)")
     # output
     p.add_argument("--out", default="", help="save final denoised PNG here")
     p.add_argument("--out-raw", default="", help="save final raw/accum PNG")
@@ -107,6 +112,7 @@ def config_from_args(args):
         camera_speed_phi=args.cam_speed[4],
         right_view_option=view,
         backend=args.backend,
+        compat=not args.native,
     )
 
 

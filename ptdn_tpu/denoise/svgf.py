@@ -148,12 +148,31 @@ def make_denoise_fn(cfg, resolution, interpret=None, pyramid_override=None):
                 state["history_length"],
                 params["color_alpha"], params["moment_alpha"], **bp_kw)
             color_history = color_acc
+            if not cfg.compat:
+                # native mode: short-history pixels (< 4 frames — fresh
+                # starts, disocclusions) take the SVGF-paper spatial
+                # moment estimate instead of 1-3-sample temporal moments
+                from ptdn_tpu.denoise.variance import \
+                    variance_with_spatial_fallback
+
+                variance = variance_with_spatial_fallback(
+                    variance, hist_up, color_acc, gbuffer,
+                    params["sigma_n"], params["sigma_x"])
         else:
-            # EstimateVariance stub = 10.0 (denoise.cu:320-329)
-            variance = jnp.full((h, w), 10.0, jnp.float32)
             color_history = raw_color
             moment_acc = state["moment_history"]
             hist_up = state["history_length"]
+            if cfg.compat:
+                # EstimateVariance stub = 10.0 (denoise.cu:320-329)
+                variance = jnp.full((h, w), 10.0, jnp.float32)
+            else:
+                # native mode: the stub replaced by the SVGF-paper 7x7
+                # bilateral spatial estimate (denoise/variance.py)
+                from ptdn_tpu.denoise.variance import spatial_variance
+
+                variance = spatial_variance(
+                    raw_color, gbuffer, params["sigma_n"],
+                    params["sigma_x"])
 
         if cfg.right_view_option == 1:
             output = jnp.broadcast_to(

@@ -614,29 +614,15 @@ SORT_KEY = os.environ.get("PTDN_SORT_KEY", "morton")
 _LAST_PERMUTE_SPANS = None
 
 
-def permute_by_key(ds, sh, pix, n, nb, n_chunks_static, do_vis,
-                   light_pos=None, light_radius=None, group=1):
-    """Reorder lanes (all planes together, ONE packed row gather
-    — scatters cost ~10x on v5e) by the crossed-chunk-ID ranges of
-    the next ray and the shadow ray, so each 1024-lane tile's union
-    range [min(lo), max(hi)] — the trace kernel's chunk-loop trip
-    count — stays a handful of chunks. Dead lanes key past every
-    live bucket so whole tiles go idle. Returns the permuted
-    (shade planes + nlo + nhi + slo + shi, pix) — the range planes
-    ride along so the trace kernel can bound its chunk loops.
-
-    `group` (G): sort/gather at G-LANE granularity. The row gather is
-    COUNT-bound (~100 M rows/s regardless of width up to ~500 B,
-    benchmarks/micro_permute.py: 29-plane gather 7.1 ms at G=1 vs
-    2.7 ms at G=4 for 640 k lanes), so moving G lanes per gathered row
-    cuts the permute cost ~G-fold. Placement granularity coarsens:
-    groups are lanes already adjacent after the PREVIOUS bounce's sort
-    (camera-adjacent at bounce 1), and the group sort key is the min
-    over the group's lane keys, so tile chunk-unions stay tight; the
-    per-lane range planes ride along, so in-kernel culling stays
-    per-lane exact regardless of G."""
-    import jax
-
+def ranges_and_key(ds, sh, pix, n, nb, n_chunks_static, do_vis,
+                   light_pos=None, light_radius=None):
+    """Crossed-chunk-ID range planes + coherence sort key for the
+    post-shade wavefront. Returns (allp, key): `allp` = the shade
+    planes with (nlo, nhi, slo, shi, pix) appended — the layout the
+    trace kernel consumes — and `key` the per-lane sort key (see
+    permute_by_key for the strategy). Split out so skip-sort bounces
+    (cfg.sort_every > 1) can carry fresh ranges without paying the
+    count-bound permute gather."""
     from ptdn_tpu.ops.pallas import shade as SH
 
     ncp1 = n_chunks_static + 1
@@ -710,16 +696,52 @@ def permute_by_key(ds, sh, pix, n, nb, n_chunks_static, do_vis,
         if do_vis:
             key = key * ncp1 + slo
     key = jnp.where(alive, key, jnp.int32(1 << 30))
-    G = int(group) if group else 1
-    if G > 1 and 128 % G:
-        raise ValueError(f"sort group {G} must divide 128")
     allp = jnp.concatenate(
         [sh, nlo[None].astype(jnp.float32),
          nhi[None].astype(jnp.float32),
          slo[None].astype(jnp.float32),
          shi[None].astype(jnp.float32), pix[None]], axis=0)
+    return allp, key.reshape(n)
+
+
+def permute_by_key(ds, sh, pix, n, nb, n_chunks_static, do_vis,
+                   light_pos=None, light_radius=None, group=1):
+    """Reorder lanes (all planes together, ONE packed row gather
+    — scatters cost ~10x on v5e) by the crossed-chunk-ID ranges of
+    the next ray and the shadow ray, so each 1024-lane tile's union
+    range [min(lo), max(hi)] — the trace kernel's chunk-loop trip
+    count — stays a handful of chunks. Dead lanes key past every
+    live bucket so whole tiles go idle. Returns the permuted
+    (shade planes + nlo + nhi + slo + shi, pix) — the range planes
+    ride along so the trace kernel can bound its chunk loops.
+
+    `group` (G): sort/gather at G-LANE granularity. The row gather is
+    COUNT-bound (~100 M rows/s regardless of width up to ~500 B,
+    benchmarks/micro_permute.py: 29-plane gather 7.1 ms at G=1 vs
+    2.7 ms at G=4 for 640 k lanes), so moving G lanes per gathered row
+    cuts the permute cost ~G-fold. Placement granularity coarsens:
+    groups are lanes already adjacent after the PREVIOUS bounce's sort
+    (camera-adjacent at bounce 1), and the group sort key is the min
+    over the group's lane keys, so tile chunk-unions stay tight; the
+    per-lane range planes ride along, so in-kernel culling stays
+    per-lane exact regardless of G."""
+    allp, key = ranges_and_key(ds, sh, pix, n, nb, n_chunks_static,
+                               do_vis, light_pos=light_pos,
+                               light_radius=light_radius)
+    out = permute_planes(allp, key, n, nb, group=group)
+    return out[:-1], out[-1]
+
+
+def permute_planes(allp, key, n, nb, group=1):
+    """The permute machinery behind permute_by_key: stable sort of
+    `key`, active-prefix ladder, sub-batching past the gather cliff.
+    Takes/returns the full appended-plane stack (last plane = pix)."""
+    import jax
+
+    G = int(group) if group else 1
+    if G > 1 and 128 % G:
+        raise ValueError(f"sort group {G} must divide 128")
     k_pl = allp.shape[0]
-    key = key.reshape(n)
 
     # Sub-batching: past ~110 MB of gathered table the XLA row gather
     # falls off a bandwidth cliff (benchmarks/micro_sort.py — the
@@ -793,7 +815,8 @@ def permute_by_key(ds, sh, pix, n, nb, n_chunks_static, do_vis,
             return go
 
         rungs = [r for r in (nb_b // 8, nb_b // 4, nb_b * 3 // 8,
-                             nb_b // 2, nb_b * 3 // 4) if 0 < r < nb_b]
+                             nb_b // 2, nb_b * 5 // 8, nb_b * 3 // 4,
+                             nb_b * 7 // 8) if 0 < r < nb_b]
         out = permute_prefix(nb_b)
         for r in reversed(rungs):
             out = (lambda nxt, r: lambda _: jax.lax.cond(
@@ -810,7 +833,7 @@ def permute_by_key(ds, sh, pix, n, nb, n_chunks_static, do_vis,
             key_b = jax.lax.slice(key, (r0 * 128,), (r1 * 128,))
             parts.append(one_batch(allp_b, key_b, r1 - r0))
         allp = jnp.concatenate(parts, axis=1)
-    return allp[:-1], allp[-1]
+    return allp
 
 
 def _static_mats(scene):
@@ -889,6 +912,24 @@ def make_trace_fn(scene, cfg, resolution, full_height=None, interpret=None):
     # for the whole frame
     use_path = (getattr(cfg, "fuse_path", True) and not use_sort
                 and ((not cfg.shadow_ray) or light_analytic))
+    # ---- native-mode uniform light selection (PARITY.md quirk #6) ----
+    # The reference NEE always samples geoms[0] ("// TODO: pick random
+    # light", pathtrace.cu:359-361). compat=False with >1 emissive geom
+    # draws one uniformly per diffuse lane per bounce and weights the
+    # contribution by n_lights (the standard MC estimator). Runs on the
+    # oracle bounce path — the fused kernels bake a single light, and
+    # every shipped demo scene has exactly one, so they never pay this.
+    light_ids = tuple(lg.geom_idx for lg in scene.lights)
+    multi_light = ((not cfg.compat) and cfg.shadow_ray
+                   and len(light_ids) > 1)
+    if multi_light:
+        use_fused = use_path = use_sort = False
+        light_emits = np.stack([
+            np.asarray(scene.materials[scene.geom_material_ids[g]].color,
+                       np.float32)
+            * np.float32(
+                scene.materials[scene.geom_material_ids[g]].emittance)
+            for g in light_ids])
     # static bypass: a scene with zero loaded textures can never sample
     # one (every mat_texid is -1), so skip the 640K-lane texture gather
     # that XLA would otherwise emit per bounce (~4 ms/site on v5e)
@@ -1034,12 +1075,24 @@ def make_trace_fn(scene, cfg, resolution, full_height=None, interpret=None):
             lhd = 0.5 * jnp.sqrt(jnp.sum(
                 (ds.geom_bb_max[light_geom] - ds.geom_bb_min[light_geom])
                 ** 2))
-            outA, pix = permute_by_key(
+            allp, key = ranges_and_key(
                 ds, outA, pix, n, nb, n_chunks_static, do_vis,
                 light_pos=ds.geom_translation[light_geom],
-                light_radius=lhd,
-                group=(cfg.sort_group if cfg.sort_group is not None
-                       else 1))
+                light_radius=lhd)
+            grp = cfg.sort_group if cfg.sort_group is not None else 1
+            se = int(cfg.sort_every if cfg.sort_every is not None
+                     else os.environ.get("PTDN_SORT_EVERY", 1) or 1)
+            if se > 1:
+                # skip-sort bounces: fresh ranges, stale order — saves
+                # the count-bound permute gather; scatter keeps origins
+                # tile-local so coherence only partially decays
+                allp = jax.lax.cond(
+                    (depth - 1) % se == 0,
+                    lambda a: permute_planes(a, key, n, nb, group=grp),
+                    lambda a: a, allp)
+            else:
+                allp = permute_planes(allp, key, n, nb, group=grp)
+            outA, pix = allp[:-1], allp[-1]
             out, tex_comp = BK.trace_bounce_pallas(
                 outA, pv, ds,
                 geom_types=scene.geom_types,
@@ -1212,7 +1265,30 @@ def make_trace_fn(scene, cfg, resolution, full_height=None, interpret=None):
                                    throughput)
 
             # ---- NEE shadow ray to geom 0 (pathtrace.cu:357-385) ----
-            if cfg.shadow_ray:
+            if cfg.shadow_ray and multi_light:
+                # native mode, >1 emissive geom: uniform light selection
+                # (fixes "// TODO: pick random light", pathtrace.cu:359).
+                # Draw order: selection FIRST, then the disk sample's
+                # theta/radius — ours to define, the reference stream has
+                # no selection draw.
+                nee = active & mat_is_diffuse
+                s_origin = ipos + 1e-4 * inormal
+                k = len(light_ids)
+                seed, r_sel = bsdf.next_rand_masked(seed, nee)
+                li = jnp.minimum((r_sel * k).astype(jnp.int32), k - 1)
+                l_tr = ds.geom_translation[jnp.asarray(light_ids)][li]
+                seed, s_dir, s_dist = bsdf.sample_shadow_ray(
+                    seed, s_origin, l_tr, params["light_radius"], nee)
+                tgt = jnp.asarray(light_ids, jnp.int32)[li]
+                lit = nee & (intersect(ds, s_origin, s_dir)["geom_id"]
+                             == tgt)
+                lambert = jnp.maximum(0.0, jnp.sum(s_dir * inormal, axis=-1))
+                intensity = params["shadow_intensity"] / (s_dist * s_dist)
+                # x k: inverse of the uniform selection pdf
+                contrib = (throughput * jnp.asarray(light_emits)[li]
+                           * (k * intensity * lambert)[..., None])
+                radiance = radiance + jnp.where(lit[..., None], contrib, 0.0)
+            elif cfg.shadow_ray:
                 nee = active & mat_is_diffuse
                 s_origin = ipos + 1e-4 * inormal
                 seed, s_dir, s_dist = bsdf.sample_shadow_ray(
@@ -1340,7 +1416,10 @@ def make_trace_fn(scene, cfg, resolution, full_height=None, interpret=None):
         else:
             carry = (origin, direction, throughput, radiance, diffuse_flag,
                      active, isect, gb_albedo)
-            body = bounce_pallas if plane_ok else bounce
+            # multi-light native mode runs the oracle bounce (the pallas
+            # shade kernel bakes a single NEE light)
+            body = (bounce_pallas if (plane_ok and not multi_light)
+                    else bounce)
         if cfg.trace_depth == 1:
             carry, _ = body(carry, jnp.int32(1))
         else:

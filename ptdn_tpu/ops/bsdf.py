@@ -131,16 +131,19 @@ def quat_rotate_from_z(dest, p):
 def sample_shadow_ray(seed, origin_pos, light_translation, light_radius, active):
     """computeShadowRay (pathtrace.cu:284-297): uniform-in-radius sample on
     a light-facing disk. Draws theta then radius. Returns
-    (seed, dir, expect_dist)."""
-    to_center = _normalize(light_translation[None, :] - origin_pos)
+    (seed, dir, expect_dist). `light_translation` may be a single (3,)
+    light or a per-lane (n, 3) choice (native-mode uniform light
+    selection, engine/wavefront.py)."""
+    lt = (light_translation if light_translation.ndim == 2
+          else light_translation[None, :])
+    to_center = _normalize(lt - origin_pos)
     seed, r_theta = next_rand_masked(seed, active)
     theta = TWO_PI * r_theta
     circ = jnp.stack([jnp.cos(theta), jnp.sin(theta), jnp.zeros_like(theta)],
                      axis=-1)
     sample_dir = quat_rotate_from_z(to_center, circ)
     seed, r_rad = next_rand_masked(seed, active)
-    sample_point = light_translation[None, :] + sample_dir * (
-        r_rad * light_radius)[..., None]
+    sample_point = lt + sample_dir * (r_rad * light_radius)[..., None]
     delta = sample_point - origin_pos
     expect_dist = jnp.linalg.norm(delta, axis=-1)
     return seed, _normalize(delta), expect_dist

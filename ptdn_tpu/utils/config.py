@@ -105,6 +105,18 @@ class RenderConfig:
     # bunny 132.7 (G=1) vs 468.1 (G=4) / 557.0 (G=8); room 103.7 vs
     # 323.4 / 361.3. None = auto (1, exact per-lane placement).
     sort_group: Any = None
+    # coherence-sort CADENCE: permute every k-th bounce (sort at depths
+    # 1, 1+k, ... ; in between, fresh crossed-chunk ranges still ride
+    # along but lanes stay in the previous bounce's order). The permute
+    # gather is count-bound (~1 row/clock on v5e), so k=2 halves the
+    # permute cost — but MEASURED NEGATIVE (round 5, bunny 800x800):
+    # 121.5 (k=1) -> 295.9 (k=2) -> 419.1 (k=3) ms. One diffuse scatter
+    # decorrelates a tile's crossed ranges enough that the trace
+    # kernel's union-bounded chunk loops explode, same lesson as
+    # sort_group: placement granularity/cadence is the one thing the
+    # sorted pipeline cannot coarsen. None = auto (PTDN_SORT_EVERY env,
+    # default 1); knob kept as the measured control.
+    sort_every: Any = None
     # fused temporal-reprojection + à-trous-level-1 kernel
     # (ops/pallas/reproject_atrous.py): the accumulated color never
     # round-trips HBM between the two stages. Measured NEUTRAL on
@@ -137,7 +149,7 @@ class RenderConfig:
             self.sep_color, self.add_color, self.right_view_option,
             self.backend, self.mesh_mode, self.compat,
             self.fuse_bounce, self.fuse_path, self.sort_rays,
-            self.sort_group, self.fuse_reproject_l1,
+            self.sort_group, self.sort_every, self.fuse_reproject_l1,
         )
 
     def replace(self, **kw) -> "RenderConfig":

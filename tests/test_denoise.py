@@ -171,6 +171,78 @@ def test_svgf_spatial_stub_variance():
     np.testing.assert_allclose(np.asarray(out), 100.0)  # 10.0/0.1
 
 
+def test_spatial_variance_native_mode():
+    """compat=False replaces the 10.0 stub with the SVGF-paper bilateral
+    spatial moment estimate: on a flat wall with iid noise the estimate
+    approaches the true luminance variance; across a geometric edge the
+    bilateral weights keep the moments from mixing."""
+    from ptdn_tpu.denoise.variance import spatial_variance
+
+    rng = np.random.default_rng(7)
+    gb = _flat_gbuffer()
+    # uniform [0,1) noise, gray: luminance == channel value
+    noise = rng.random((H, W, 1)).astype(np.float32)
+    color = jnp.asarray(np.repeat(noise, 3, axis=-1))
+    var = np.asarray(spatial_variance(color, gb, jnp.float32(0.2),
+                                      jnp.float32(5.0)))
+    assert var.shape == (H, W)
+    # interior pixels see a full 7x7 iid window: E[var_hat] = 1/12
+    interior = var[4:-4, 4:-4]
+    assert abs(interior.mean() - 1.0 / 12.0) < 0.02
+    assert (var >= 0).all()
+
+    # two half-planes of constant but different luminance, separated by
+    # a geometry edge: bilateral weights must not mix them (a box filter
+    # would report large variance along the seam)
+    gb2 = _flat_gbuffer()
+    pos = np.asarray(gb2["position"]).copy()
+    pos[:, W // 2:, 2] += 100.0          # far wall on the right half
+    gb2["position"] = jnp.asarray(pos)
+    flat = np.full((H, W, 3), 0.25, np.float32)
+    flat[:, W // 2:, :] = 0.75
+    var2 = np.asarray(spatial_variance(jnp.asarray(flat), gb2,
+                                       jnp.float32(0.2), jnp.float32(0.5)))
+    assert var2.max() < 1e-3
+
+    # end-to-end: temporal off + compat=False routes the estimate into
+    # the variance debug view (constant image -> ~0, not the stub's 100)
+    cfg = RenderConfig(denoise_enable=True, temporal_enable=False,
+                       spatial_enable=True, right_view_option=2,
+                       compat=False)
+    den = make_denoise_fn(cfg, (W, H))
+    state = init_denoise_state((W, H))
+    gb3 = _flat_gbuffer()
+    gb3["albedo"] = jnp.ones((H, W, 3), jnp.float32)
+    gb3["ialbedo"] = jnp.ones((H, W, 3), jnp.float32)
+    raw = jnp.full((H, W, 3), 0.5, jnp.float32)
+    out, _ = den(state, raw, gb3, jnp.eye(4), cfg.traced_params())
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-5)
+
+
+def test_spatial_variance_short_history_fallback():
+    """Temporal ON + compat=False: pixels with history < 4 frames take
+    the spatial estimate; long-history pixels keep the temporal one."""
+    from ptdn_tpu.denoise.variance import variance_with_spatial_fallback
+
+    gb = _flat_gbuffer()
+    color = jnp.full((H, W, 3), 0.5, jnp.float32)
+    temporal_var = jnp.full((H, W), 7.0, jnp.float32)
+    hist = np.full((H, W), 10, np.int32)
+    hist[:4] = 1                          # fresh rows
+    out = np.asarray(variance_with_spatial_fallback(
+        temporal_var, jnp.asarray(hist), color, gb,
+        jnp.float32(0.2), jnp.float32(5.0)))
+    # constant image -> spatial estimate ~0 on the fresh rows
+    np.testing.assert_allclose(out[:4], 0.0, atol=1e-5)
+    np.testing.assert_allclose(out[4:], 7.0)
+    # nothing below threshold -> cond skips the 49-tap filter, values
+    # pass through untouched
+    out2 = np.asarray(variance_with_spatial_fallback(
+        temporal_var, jnp.full((H, W), 9, jnp.int32), color, gb,
+        jnp.float32(0.2), jnp.float32(5.0)))
+    np.testing.assert_allclose(out2, 7.0)
+
+
 def test_backprojection_packed_parity():
     """The 9-gather packed reprojection must match the reference-shaped
     implementation exactly."""

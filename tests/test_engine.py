@@ -239,6 +239,115 @@ def test_compat_false_renders_and_differs(cornell):
     assert (diff > 1e-3).mean() < 0.01
 
 
+_TWO_LIGHT_HEAD = """\
+MATERIAL 0
+RGB         1 1 1
+SPECEX      0
+SPECRGB     0 0 0
+REFL        0
+REFR        0
+REFRIOR     0
+EMITTANCE   5
+
+MATERIAL 1
+RGB         .9 .9 .9
+SPECEX      0
+SPECRGB     0 0 0
+REFL        0
+REFR        0
+REFRIOR     0
+EMITTANCE   0
+
+MATERIAL 2
+RGB         {rgb2}
+SPECEX      0
+SPECRGB     0 0 0
+REFL        0
+REFR        0
+REFRIOR     0
+EMITTANCE   5
+
+CAMERA
+RES         48 48
+FOVY        45
+FILE        twolight
+EYE         0 5 10
+LOOKAT      0 5 0
+UP          0 1 0
+
+OBJECT 0
+cube
+material 0
+TRANS       -3 10 0
+ROTAT       0 0 0
+SCALE       2 .3 2
+
+OBJECT 1
+cube
+material 1
+TRANS       0 0 0
+ROTAT       0 0 0
+SCALE       12 .01 12
+
+OBJECT 2
+cube
+material 2
+TRANS       3 10 0
+ROTAT       0 0 0
+SCALE       2 .3 2
+
+OBJECT 3
+cube
+material 1
+TRANS       0 5 -4
+ROTAT       0 0 0
+SCALE       12 10 .01
+"""
+
+
+def _two_light_scene(tmp_path, rgb2="1 1 1"):
+    p = tmp_path / "twolight.txt"
+    p.write_text(_TWO_LIGHT_HEAD.format(rgb2=rgb2))
+    return Scene(str(p))
+
+
+def test_uniform_light_selection_native_mode(tmp_path):
+    """PARITY.md quirk #6: compat=True NEE-samples only geom 0
+    (pathtrace.cu:359-361); compat=False picks uniformly among emissive
+    geoms and weights by n_lights. With a second REAL light the native
+    render must pick up its direct contribution (brighter right side);
+    with a second BLACK-emissive light (color 0, emittance > 0 — still
+    in the light list) the estimator's x2 weight and 1/2 selection odds
+    cancel, so the native mean must equal the compat mean."""
+    scene = _two_light_scene(tmp_path)
+    assert len(scene.lights) == 2
+
+    def render_mean(scene, compat, frames=48):
+        cfg = RenderConfig(backend="xla", trace_depth=2,
+                           denoise_enable=False, compat=compat)
+        r = Renderer(scene, cfg, resolution=(48, 48))
+        left = None
+        for _ in range(frames):
+            left, _ = r.render_frame()
+        return np.asarray(left)
+
+    a = render_mean(scene, True)
+    b = render_mean(scene, False)
+    assert np.isfinite(b).all() and (b >= 0).all()
+    # the second light sits over the RIGHT half; only native lights it
+    # directly, so the floor's right half must brighten vs compat
+    right_gain = b[24:, 24:].mean() - a[24:, 24:].mean()
+    assert right_gain > 0.02, f"second light not sampled ({right_gain=})"
+
+    # normalization check: black second light => identical expectation
+    dark = _two_light_scene(tmp_path, rgb2="0 0 0")
+    c = render_mean(dark, True)
+    d = render_mean(dark, False)
+    # same estimator mean despite half the NEE draws hitting the black
+    # light at double weight; 48 accumulated frames, loose tolerance
+    assert abs(d.mean() - c.mean()) / c.mean() < 0.05
+
+
 def test_sticky_diffuse_skips_emissive_hit_hand_computed(tmp_path):
     """PARITY.md quirk #5 at a hand-computed 3-bounce sequence.
 
