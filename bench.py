@@ -14,8 +14,10 @@ line stays the headline metric.
 truth per static config (the BASELINE.json metric: 5000-frame
 accumulated reference, reference pathtrace.cu:398 running-mean mode).
 GT images are cached in benchmarks/gt/*.npz and rendered once on first
-use. --stages emits an ablation-derived per-stage ms decomposition
-(trace / temporal / à-trous / texture / NEE) per config.
+use. --stages emits a SLOPE-TIMED ablation decomposition per config with
+keys full / trace / temporal / atrous / nee_visibility / denoise_glue
+(see stage_breakdown for what each bucket really contains — 'trace'
+still includes texture resolve and NEE visibility).
 """
 
 from __future__ import annotations
@@ -74,13 +76,47 @@ def _gt_path(name, resolution, depth):
                                 f"_d{depth}.npz")
 
 
+def _scene_sha(scene_path):
+    """Content hash of the scene file + any OBJ models it references —
+    a changed scene silently reusing a stale cached GT would corrupt
+    every --quality RMSE (round-4 advisor)."""
+    import hashlib
+
+    h = hashlib.sha256(open(scene_path, "rb").read())
+    sdir = os.path.dirname(os.path.abspath(scene_path))
+    for line in open(scene_path):
+        tok = line.split()
+        # mesh objects name their .obj on a bare line (parser.py:20)
+        if tok and tok[0].endswith(".obj"):
+            mp = os.path.join(sdir, "Models", tok[0])
+            if os.path.isfile(mp):
+                h.update(open(mp, "rb").read())
+    return h.hexdigest()[:16]
+
+
 def ground_truth(scene_path, name, resolution, depth, gt_frames):
     """Converged accumulated reference (cached). Rendered with the
     pallas backend, denoise off — the reference's running-mean converged
-    mode (pathtrace.cu:398)."""
+    mode (pathtrace.cu:398). The cache stores a content hash of the
+    scene (+ models); a mismatch forces a re-render. Legacy caches
+    without the hash are trusted once and upgraded in place (the
+    vendored scenes are byte-identical to the ones the committed GTs
+    were rendered from)."""
     path = _gt_path(name, resolution, depth)
+    sha = _scene_sha(scene_path)
     if os.path.exists(path):
-        return np.load(path)["gt"]
+        z = np.load(path, allow_pickle=False)
+        stored = str(z["scene_sha"]) if "scene_sha" in z.files else None
+        if stored == sha:
+            return z["gt"]
+        if stored is None:
+            gt = z["gt"]
+            np.savez_compressed(path, gt=gt,
+                                gt_frames=z["gt_frames"], scene_sha=sha)
+            return gt
+        print(f"[bench] GT cache for {name} is stale "
+              f"(scene hash {stored} != {sha}); re-rendering",
+              file=sys.stderr, flush=True)
     from ptdn_tpu.engine import Renderer
     from ptdn_tpu.scene import Scene
     from ptdn_tpu.utils.config import RenderConfig
@@ -93,7 +129,7 @@ def ground_truth(scene_path, name, resolution, depth, gt_frames):
     left, _ = r.render(gt_frames)
     gt = np.asarray(left, np.float32)
     os.makedirs(GT_DIR, exist_ok=True)
-    np.savez_compressed(path, gt=gt, gt_frames=gt_frames)
+    np.savez_compressed(path, gt=gt, gt_frames=gt_frames, scene_sha=sha)
     return gt
 
 
@@ -116,19 +152,59 @@ def quality_rmse(scene_path, name, resolution, depth, cfg, gt_frames,
             "gt_frames": gt_frames, "svgf_frames": svgf_frames}
 
 
-def stage_breakdown(scene_path, resolution, frames, warmup, base_cfg):
-    """Ablation-derived per-stage decomposition: each stage's cost is
-    full-config ms minus the ms with that stage disabled (so overlaps
-    land in 'other'). Matches the manual PERF_NOTES methodology."""
-    full, _ = run_config(scene_path, resolution, frames, warmup, base_cfg)
-    trace_only, _ = run_config(scene_path, resolution, frames, warmup,
-                               base_cfg.replace(denoise_enable=False))
-    no_temporal, _ = run_config(scene_path, resolution, frames, warmup,
-                                base_cfg.replace(temporal_enable=False))
-    no_atrous, _ = run_config(scene_path, resolution, frames, warmup,
-                              base_cfg.replace(atrous_nlevel=0))
-    no_nee, _ = run_config(scene_path, resolution, frames, warmup,
-                           base_cfg.replace(shadow_ray=False))
+def run_config_slope(scene_path, resolution, cfg, n1=5, n2=20):
+    """Steady-state ms/frame via SLOPE timing (utils/timing.py): the
+    frame state threads call-to-call (a real data dependency), one
+    scalar fetch per run — resolves 1-3 ms deltas that the wall-clock
+    method's ±2 ms tunnel noise cannot (round-4 verdict weak #4)."""
+    import jax.numpy as jnp
+
+    from ptdn_tpu.engine import Renderer
+    from ptdn_tpu.ops.camera import view_matrix
+    from ptdn_tpu.scene import Scene
+    from ptdn_tpu.utils.timing import bench_slope
+
+    r = Renderer(Scene(scene_path), cfg, resolution=resolution)
+    for _ in range(3):
+        r.render_frame()                     # compile + warm the state
+    fc = r.camera.frame()
+    cam = fc.as_pytree()
+    vm = jnp.asarray(view_matrix(fc))
+    holder = {"s": r.state}
+    f8 = jnp.uint32(8)
+    fls = jnp.bool_(False)
+
+    def fn():
+        ns, _, right = r._step(holder["s"], r.ds, cam, vm, r._params,
+                               f8, fls)
+        holder["s"] = ns                     # chain: donated state threads
+        return right
+
+    return bench_slope(fn, n1=n1, n2=n2)
+
+
+def stage_breakdown(scene_path, resolution, base_cfg):
+    """Slope-timed ablation decomposition. Keys (what they really are):
+
+    * full           — the full config, steady state
+    * trace          — denoise disabled entirely (this bucket still
+                       includes texture resolve and NEE visibility)
+    * temporal       — full minus temporal-off
+    * atrous         — full minus atrous_nlevel=0
+    * nee_visibility — full minus shadow_ray=False (the NEE shadow
+                       rays AND their shading contribution)
+    * denoise_glue   — full - trace - temporal - atrous (debug views,
+                       buffer plumbing)
+    """
+    full = run_config_slope(scene_path, resolution, base_cfg)
+    trace_only = run_config_slope(scene_path, resolution,
+                                  base_cfg.replace(denoise_enable=False))
+    no_temporal = run_config_slope(
+        scene_path, resolution, base_cfg.replace(temporal_enable=False))
+    no_atrous = run_config_slope(scene_path, resolution,
+                                 base_cfg.replace(atrous_nlevel=0))
+    no_nee = run_config_slope(scene_path, resolution,
+                              base_cfg.replace(shadow_ray=False))
     d = {
         "full": round(full, 3),
         "trace": round(trace_only, 3),
@@ -199,8 +275,7 @@ def main():
         quality["cornell"] = quality_rmse(cornell, "cornell", (800, 800), 8,
                                           cfg, args.gt_frames)
     if args.stages:
-        stages["cornell"] = stage_breakdown(cornell, (800, 800),
-                                            args.frames, args.warmup, cfg)
+        stages["cornell"] = stage_breakdown(cornell, (800, 800), cfg)
 
     if args.all:
         extras = {}
@@ -217,8 +292,7 @@ def main():
                 quality[name] = quality_rmse(path, name, r0, 8, c,
                                              args.gt_frames)
             if args.stages:
-                stages[name] = stage_breakdown(path, res, args.frames,
-                                               args.warmup, c)
+                stages[name] = stage_breakdown(path, res, c)
         # room.txt, animated camera, 1080p: full temporal reprojection
         # loop (no GT/RMSE: the camera never converges on one view)
         c = RenderConfig(trace_depth=8, automate_camera=True,
@@ -231,8 +305,7 @@ def main():
             rays_per_sec((1920, 1080), 8, m) / 1e6, 1)
         if args.stages:
             stages["room_1080p_animated"] = stage_breakdown(
-                f"{args.scenes_dir}/room.txt", (1920, 1080), args.frames,
-                args.warmup, c)
+                f"{args.scenes_dir}/room.txt", (1920, 1080), c)
         out["extra_ms"] = extras
 
     out["rays_per_sec_M"] = rays

@@ -770,29 +770,33 @@ def permute_planes(allp, key, n, nb, group=1):
         # group key: min over the G lanes (all-dead groups keep the
         # sentinel, preserving the stable dead-tail invariant below)
         keyg = key_b.reshape(ngB, G).min(axis=1) if G > 1 else key_b
-        order = jax.lax.sort_key_val(
-            keyg, jnp.arange(ngB, dtype=jnp.int32))[1]
 
-        # Active-prefix ladder: the row gather is COUNT-bound (~100 M
-        # rows/s on v5e regardless of row width), so gathering only the
-        # non-identity prefix scales the permute with path survival:
-        # dead lanes share the sentinel key, the sort is STABLE, and
-        # each bounce's sort leaves its dead tail in place — so once a
-        # lane reaches the tail, every later sort maps it to itself and
-        # its planes can be copied with a static slice instead of
-        # gathered. The exact (assumption-free) prefix bound is the
-        # last position the permutation actually moves.
+        # Active-prefix ladder: the row gather is COUNT-bound (~1 row
+        # per clock on v5e regardless of width), so both the SORT and
+        # the gather run only over the non-identity prefix: dead lanes
+        # share the sentinel key, the sort is STABLE, and each bounce's
+        # sort leaves its dead tail in place — so once a lane reaches
+        # the tail, every later sort maps it to itself and its planes
+        # can be copied with a static slice instead of gathered. The
+        # prefix bound is the last ACTIVE position in the current
+        # order, `act_hi`, computable BEFORE sorting: every position
+        # >= act_hi holds a sentinel lane whose stable output slot is
+        # n_act + (#dead before it) = its own position, so sorting the
+        # [0, rung) slice alone reproduces the full sort exactly.
         iota_g = jnp.arange(ngB, dtype=jnp.int32)
-        moved_hi = jnp.max(jnp.where(order != iota_g, iota_g, -1)) + 1
+        act_hi = jnp.max(jnp.where(keyg != jnp.int32(1 << 30),
+                                   iota_g, -1)) + 1
 
         rowsT = allp_b.reshape(k_pl, nB).T.reshape(ngB, G * k_pl)
 
         def permute_prefix(rows_pref):
-            """Gather positions [0, rows_pref*128); copy the tail."""
+            """Sort + gather positions [0, rows_pref*128); copy the tail."""
             npref = rows_pref * 128
 
             def go(_):
-                opref = jax.lax.slice(order, (0,), (npref // G,))
+                keyp = jax.lax.slice(keyg, (0,), (npref // G,))
+                opref = jax.lax.sort_key_val(
+                    keyp, jnp.arange(npref // G, dtype=jnp.int32))[1]
                 if G == 1 and k_pl * npref * 4 > 110 * 1024 * 1024:
                     # above the ~110 MB gather cliff (only reachable
                     # when a single batch already exceeds it): 8-wide
@@ -820,7 +824,7 @@ def permute_planes(allp, key, n, nb, group=1):
         out = permute_prefix(nb_b)
         for r in reversed(rungs):
             out = (lambda nxt, r: lambda _: jax.lax.cond(
-                moved_hi * G <= r * 128, permute_prefix(r), nxt,
+                act_hi * G <= r * 128, permute_prefix(r), nxt,
                 None))(out, r)
         return out(None)
 
