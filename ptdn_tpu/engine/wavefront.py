@@ -732,15 +732,46 @@ def permute_by_key(ds, sh, pix, n, nb, n_chunks_static, do_vis,
     return out[:-1], out[-1]
 
 
-def permute_planes(allp, key, n, nb, group=1):
+def permute_planes(allp, key, n, nb, group=1, regroup=0, interpret=False):
     """The permute machinery behind permute_by_key: stable sort of
     `key`, active-prefix ladder, sub-batching past the gather cliff.
-    Takes/returns the full appended-plane stack (last plane = pix)."""
+    Takes/returns the full appended-plane stack (last plane = pix).
+
+    `regroup` (G > 1): FRESH-GROUP mode — an in-row (128-lane) argsort
+    of the key brings similar-key lanes adjacent inside each row (a
+    free vreg-local permute, ops/pallas/inrow.py), then the global
+    sort/gather runs at G-lane group granularity: ~G-fold cheaper
+    (the gather is ~1 row/clock regardless of width;
+    benchmarks/micro_regroup.py: 2.87 vs 7.00 ms at bunny scale,
+    G=4). Unlike `group` (which inherits adjacency from the PREVIOUS
+    bounce's sort and decorrelates — the round-4 negative), groups
+    here are key-coherent by construction every bounce."""
     import jax
 
+    if regroup and int(regroup) > 1:
+        G = int(regroup)
+        if 128 % G:
+            raise ValueError(f"regroup {G} must divide 128")
+        from ptdn_tpu.ops.pallas.inrow import inrow_permute_pallas
+
+        key2d = key.reshape(nb, 128)
+        iota_l = jnp.broadcast_to(jnp.arange(128, dtype=jnp.int32),
+                                  (nb, 128))
+        key_s, order = jax.lax.sort_key_val(key2d, iota_l)
+        allp = inrow_permute_pallas(allp, order, interpret=interpret)
+        key = key_s.reshape(n)
+        # dead-tail invariant holds: all-sentinel rows sort to identity
+        # (stable, equal keys), sentinel groups keep their global slot
+        return _permute_body(allp, key, n, nb, G)
     G = int(group) if group else 1
     if G > 1 and 128 % G:
         raise ValueError(f"sort group {G} must divide 128")
+    return _permute_body(allp, key, n, nb, G)
+
+
+def _permute_body(allp, key, n, nb, G):
+    import jax
+
     k_pl = allp.shape[0]
 
     # Sub-batching: past ~110 MB of gathered table the XLA row gather
@@ -754,7 +785,11 @@ def permute_planes(allp, key, n, nb, group=1):
     # for at most n_batch-1 extra partially-mixed bucket-boundary tiles
     # per bucket; the per-batch stable sort preserves the dead-tail
     # ladder invariant within each batch.
-    n_batch = max(1, -(-(k_pl * n * 4) // _GATHER_CLIFF))
+    # G>1 grouped gathers stay fast above the cliff (micro_permute
+    # L3-G4: 10.06 ms single gather on the 241 MB 1080p table) — only
+    # per-lane gathers need the batch split
+    n_batch = (max(1, -(-(k_pl * n * 4) // _GATHER_CLIFF)) if G == 1
+               else 1)
     rb = -(-(-(-nb // n_batch)) // 32) * 32   # rows/batch, 32-row mult
     spans = []
     r0 = 0
@@ -1084,6 +1119,18 @@ def make_trace_fn(scene, cfg, resolution, full_height=None, interpret=None):
                 light_pos=ds.geom_translation[light_geom],
                 light_radius=lhd)
             grp = cfg.sort_group if cfg.sort_group is not None else 1
+            rg = cfg.sort_regroup
+            if rg is None:
+                env = os.environ.get("PTDN_REGROUP")
+                # auto: fresh-group G=4 where the permute dominates the
+                # trace — few-chunk scenes (diamond: 65.5 -> 54.3 ms).
+                # Chunk-heavy scenes lose: straggler lanes in mixed
+                # groups widen tile unions, and union-bounded chunk
+                # loops pay max-sensitively (bunny 119.9 -> 167.3,
+                # room 89.4 -> 131.5; docs/PERF_NOTES.md round 5)
+                rg = (int(env) if env
+                      else (4 if n_chunks_static <= 8 else 0))
+            rg = int(rg)
             se = int(cfg.sort_every if cfg.sort_every is not None
                      else os.environ.get("PTDN_SORT_EVERY", 1) or 1)
             if se > 1:
@@ -1092,10 +1139,13 @@ def make_trace_fn(scene, cfg, resolution, full_height=None, interpret=None):
                 # tile-local so coherence only partially decays
                 allp = jax.lax.cond(
                     (depth - 1) % se == 0,
-                    lambda a: permute_planes(a, key, n, nb, group=grp),
+                    lambda a: permute_planes(a, key, n, nb, group=grp,
+                                             regroup=rg,
+                                             interpret=interp),
                     lambda a: a, allp)
             else:
-                allp = permute_planes(allp, key, n, nb, group=grp)
+                allp = permute_planes(allp, key, n, nb, group=grp,
+                                      regroup=rg, interpret=interp)
             outA, pix = allp[:-1], allp[-1]
             out, tex_comp = BK.trace_bounce_pallas(
                 outA, pv, ds,

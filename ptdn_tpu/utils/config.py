@@ -105,6 +105,15 @@ class RenderConfig:
     # bunny 132.7 (G=1) vs 468.1 (G=4) / 557.0 (G=8); room 103.7 vs
     # 323.4 / 361.3. None = auto (1, exact per-lane placement).
     sort_group: Any = None
+    # FRESH-GROUP permute granularity (engine.wavefront.permute_planes
+    # regroup mode): each bounce, a free vreg-local in-row (128-lane)
+    # key sort makes G adjacent lanes key-coherent, then the global
+    # sort/gather runs at G-lane granularity — ~G-fold cheaper gather
+    # (benchmarks/micro_regroup.py: full permute 2.87 vs 7.00 ms at
+    # bunny scale, G=4) WITHOUT the cross-bounce group chaining that
+    # sank sort_group. None = auto (PTDN_REGROUP env; default 0 = off
+    # pending full-frame A/B). Must divide 128.
+    sort_regroup: Any = None
     # coherence-sort CADENCE: permute every k-th bounce (sort at depths
     # 1, 1+k, ... ; in between, fresh crossed-chunk ranges still ride
     # along but lanes stay in the previous bounce's order). The permute
@@ -149,7 +158,8 @@ class RenderConfig:
             self.sep_color, self.add_color, self.right_view_option,
             self.backend, self.mesh_mode, self.compat,
             self.fuse_bounce, self.fuse_path, self.sort_rays,
-            self.sort_group, self.sort_every, self.fuse_reproject_l1,
+            self.sort_group, self.sort_regroup, self.sort_every,
+            self.fuse_reproject_l1,
         )
 
     def replace(self, **kw) -> "RenderConfig":

@@ -562,6 +562,29 @@ def test_chunk_range_planes_supergroup_superset():
     assert not any_c[empty].any()
 
 
+def test_regroup_permute_matches():
+    """Fresh-group permute (sort_regroup=4: in-row lane sort + G-lane
+    grouped gather, ops/pallas/inrow.py) is a pure reordering — the
+    render must match the per-lane-sorted path pixel-for-pixel up to
+    the usual XLA fusion tie-flips. Diamond-shaped auto-selection
+    (n_chunks <= 8) makes this the production path for such scenes."""
+    scene = Scene(scene_path_str + "/diamond.txt")
+
+    def render(rg):
+        cfg = RenderConfig(backend="pallas", trace_depth=3,
+                           denoise_enable=False, fuse_path=False,
+                           fuse_bounce=True, sort_rays=True,
+                           sort_regroup=rg)
+        r = Renderer(scene, cfg, resolution=(64, 64))
+        left, _ = r.render_frame()
+        return np.asarray(left)
+
+    a = render(0)
+    b = render(4)
+    exact = (a == b).all(axis=-1).mean()
+    assert exact > 0.95, f"only {exact:.1%} of pixels exact"
+
+
 def test_sorted_wavefront_batched_permute_matches(monkeypatch):
     """Sub-batched coherence permute (wavefront._GATHER_CLIFF): above
     the gather cliff the wavefront is split into independently-sorted
