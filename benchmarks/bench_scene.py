@@ -2,7 +2,7 @@
 
 Same measurement shape as bench.py run_config (warmup, two timed runs,
 difference) so numbers are directly comparable to bench_results.json.
-Scene name resolves against /root/reference/scenes then repo scenes/.
+Scene name resolves via ptdn_tpu.utils.assets (vendored scenes/).
 """
 import argparse
 import json
@@ -28,13 +28,10 @@ def main():
 
     path = args.scene
     if not os.path.exists(path):
-        for base in ("/root/reference/scenes",
-                     os.path.join(os.path.dirname(os.path.dirname(
-                         os.path.abspath(__file__))), "scenes")):
-            cand = os.path.join(base, args.scene + ".txt")
-            if os.path.exists(cand):
-                path = cand
-                break
+        from ptdn_tpu.utils.assets import scene_path
+        cand = scene_path(args.scene)
+        if os.path.exists(cand):
+            path = cand
     res = None
     if args.res:
         w, h = args.res.split("x")

@@ -13,6 +13,6 @@ svgf = dict(denoise_enable=True, temporal_enable=True,
             spatial_enable=True, atrous_nlevel=5, backend="pallas")
 for fused in (False, True):
     cfg = RenderConfig(trace_depth=8, fuse_bounce=fused, **svgf)
-    ms, _ = run_config(f"/root/reference/scenes/{scene}.txt", (800, 800),
+    ms, _ = run_config(__import__("ptdn_tpu.utils.assets", fromlist=["scene_path"]).scene_path(scene), (800, 800),
                        frames, 3, cfg)
     print(f"{scene} fuse_bounce={fused}: {ms:8.2f} ms/frame", flush=True)

@@ -6,7 +6,7 @@ from ptdn_tpu.engine import wavefront as WF
 from ptdn_tpu.ops.pallas import bounce as BK
 from ptdn_tpu.ops.pallas import shade as SH
 
-scene = Scene("/root/reference/scenes/cornell.txt")
+scene = Scene(__import__("ptdn_tpu.utils.assets", fromlist=["scene_path"]).scene_path("cornell"))
 cfg = RenderConfig(trace_depth=8, denoise_enable=True, backend="pallas")
 ds = scene.device()
 n = 800 * 800

@@ -16,7 +16,7 @@ from ptdn_tpu.scene import Scene
 from ptdn_tpu.utils.timing import bench_slope
 
 name = sys.argv[1] if len(sys.argv) > 1 else "bunny"
-scene = Scene(f"/root/reference/scenes/{name}.txt")
+scene = Scene(__import__("ptdn_tpu.utils.assets", fromlist=["scene_path"]).scene_path(name))
 ds = scene.device()
 n = 800 * 800
 nb = n // 128

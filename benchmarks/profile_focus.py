@@ -15,7 +15,7 @@ name = sys.argv[1] if len(sys.argv) > 1 else "bunny"
 res = sys.argv[2] if len(sys.argv) > 2 else "800x800"
 N = int(sys.argv[3]) if len(sys.argv) > 3 else 20
 W, H = (int(x) for x in res.split("x"))
-SCENE = f"/root/reference/scenes/{name}.txt"
+SCENE = __import__("ptdn_tpu.utils.assets", fromlist=["scene_path"]).scene_path(name)
 
 
 def measure(tag, **kw):

@@ -18,7 +18,7 @@ from ptdn_tpu.utils.timing import fetch_scalar
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 40
 REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-SCENE = "/root/reference/scenes/cornell.txt"
+SCENE = __import__("ptdn_tpu.utils.assets", fromlist=["scene_path"]).scene_path("cornell")
 
 CONFIGS = [
     ("baseline (full)", {}),

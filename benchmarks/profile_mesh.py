@@ -25,7 +25,7 @@ name = sys.argv[1] if len(sys.argv) > 1 else "bunny"
 res = sys.argv[2] if len(sys.argv) > 2 else "800x800"
 W, H = (int(x) for x in res.split("x"))
 
-scene = Scene(f"/root/reference/scenes/{name}.txt")
+scene = Scene(__import__("ptdn_tpu.utils.assets", fromlist=["scene_path"]).scene_path(name))
 cfg = RenderConfig(backend="pallas", trace_depth=8, denoise_enable=True,
                    temporal_enable=True, spatial_enable=True,
                    atrous_nlevel=5)

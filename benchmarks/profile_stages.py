@@ -14,7 +14,7 @@ from ptdn_tpu.utils.timing import fetch_scalar
 name = sys.argv[1] if len(sys.argv) > 1 else "cornell"
 res = sys.argv[2] if len(sys.argv) > 2 else "800x800"
 W, H = (int(x) for x in res.split("x"))
-SCENE = f"/root/reference/scenes/{name}.txt"
+SCENE = __import__("ptdn_tpu.utils.assets", fromlist=["scene_path"]).scene_path(name)
 
 
 def measure(tag, n=25, **kw):

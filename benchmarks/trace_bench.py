@@ -4,7 +4,7 @@ from ptdn_tpu.scene import Scene
 from ptdn_tpu.utils.config import RenderConfig
 from ptdn_tpu.engine import wavefront as WF
 
-scene = Scene("/root/reference/scenes/cornell.txt")
+scene = Scene(__import__("ptdn_tpu.utils.assets", fromlist=["scene_path"]).scene_path("cornell"))
 cfg = RenderConfig(trace_depth=8, denoise_enable=True, temporal_enable=True,
                    spatial_enable=True, atrous_nlevel=5, backend="pallas")
 ds = scene.device()

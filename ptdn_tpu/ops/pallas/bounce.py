@@ -49,6 +49,10 @@ RROWS = 8
 # quadruple the chunk-union span on a 39-chunk scene), so the height
 # auto-selects by wavefront size; PTDN_TRACE_ROWS pins it for A/B.
 _TR_ENV = os.environ.get("PTDN_TRACE_ROWS")
+# PTDN_JOINT=1: one chunk scan serves the next-ray closest hit AND the
+# shadow-ray occlusion (scene_intersect.joint_mesh_tiles), sharing the
+# per-chunk machinery across the two morton-balanced ranges
+_JOINT = os.environ.get("PTDN_JOINT", "0") == "1"
 
 
 def trace_rows(nb: int) -> int:
@@ -226,13 +230,25 @@ def _trace_kernel(inp, par_ref,
 
     vis_refs = (tf_r, inv_r, invt_r, gbbmin_r, gbbmax_r, tri_r, cmin_r,
                 cmax_r)
-    if do_vis:
+    # joint next+shadow mesh loop (PTDN_JOINT): one chunk scan serves
+    # both queries, sharing the per-chunk machinery; lit is then only
+    # known inside the do_next branch, so the radiance add moves there
+    joint = (_JOINT and do_vis and has_fc and n_tris > 0
+             and n_chunks > 4)
+
+    def add_rad(lit):
+        # select, not multiply: cr/cg/cb can be inf/NaN on non-NEE lanes
+        litb = lit > 0.5
+        out[B_RR] = rr + jnp.where(litb, inp[O_CR] * light_emit[0], 0.0)
+        out[B_RG] = rg + jnp.where(litb, inp[O_CG] * light_emit[1], 0.0)
+        out[B_RB] = rb + jnp.where(litb, inp[O_CB] * light_emit[2], 0.0)
+
+    if do_vis and not joint:
         lit = light_visibility_tiles(
             (spx, spy, spz), (inp[O_SDX], inp[O_SDY], inp[O_SDZ]),
             vis_refs, shape, geom_types=geom_types, n_tris=n_tris,
             n_chunks=n_chunks, light_geom=light_geom,
             nee_mask=inp[O_NEE], chunk_range=shadow_range)
-        # select, not multiply: cr/cg/cb can be inf/NaN on non-NEE lanes
         litb = lit > 0.5
         rr = rr + jnp.where(litb, inp[O_CR] * light_emit[0], 0.0)
         rg = rg + jnp.where(litb, inp[O_CG] * light_emit[1], 0.0)
@@ -255,14 +271,55 @@ def _trace_kernel(inp, par_ref,
 
     do_next = par_ref[0, 6] > 0.5
 
+    if joint:
+        from ptdn_tpu.ops.pallas.scene_intersect import (_analytic_part,
+                                                         joint_mesh_tiles)
+
+        o_sp = (spx, spy, spz)
+        d_sh = (inp[O_SDX], inp[O_SDY], inp[O_SDZ])
+        ta_s, ga_s, _, _, _ = _analytic_part(
+            geom_types, tf_r, inv_r, invt_r, (gbbmin_r, gbbmax_r),
+            o_sp, d_sh, shape, want_normals=False)
+        lit0 = (jnp.where(ga_s == float(light_geom), 1.0, 0.0)
+                * inp[O_NEE])
+
+        @pl.when(jnp.logical_not(do_next))
+        def _():
+            # last bounce: shadow query only (the plain vis loop with
+            # its all-occluded early exit)
+            lit = light_visibility_tiles(
+                o_sp, d_sh, vis_refs, shape, geom_types=geom_types,
+                n_tris=n_tris, n_chunks=n_chunks,
+                light_geom=light_geom, nee_mask=inp[O_NEE],
+                chunk_range=shadow_range)
+            add_rad(lit)
+    else:
+        joint_mesh_tiles = None
+        o_sp = d_sh = ta_s = lit0 = None
+
     @pl.when(do_next)
     def _():
         refs = vis_refs + (attr_r,)
+        if joint:
+            litc = []
+
+            def mb(ta, ga):
+                bt, bi, lit = joint_mesh_tiles(
+                    tri_r, cmin_r, cmax_r, o_sp, (dx, dy, dz), ta, ga,
+                    d_sh, ta_s, lit0, shape, n_tris=n_tris,
+                    n_chunks=n_chunks, next_range=next_range,
+                    shadow_range=shadow_range, alive=act)
+                litc.append(lit)
+                return bt, bi
+        else:
+            mb = None
         t, geom, nx, ny, nz, uu, vv, mat = closest_hit_tiles(
             (spx, spy, spz), (dx, dy, dz),
             refs, shape, geom_types=geom_types, geom_mats=geom_mats,
             n_tris=n_tris, n_chunks=n_chunks, cull=cull, compat=compat,
-            alive=act, chunk_range=next_range)
+            alive=act, chunk_range=next_range, mesh_best_fn=mb)
+        if joint:
+            add_rad(litc[0])
         out[B_T] = t
         out[B_NX] = nx
         out[B_NY] = ny

@@ -1008,6 +1008,164 @@ def _kernel(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
     im_o[:] = jnp.where(found, bi, -1.0)
 
 
+def joint_mesh_tiles(tri_r, cmin_r, cmax_r, o, d_n, ta_n, ga_n,
+                     d_s, ta_s, lit0, shape, *, n_tris: int,
+                     n_chunks: int, next_range, shadow_range,
+                     alive=None):
+    """ONE chunk scan for BOTH mesh queries of a bounce: closest hit
+    for the next rays and any-hit occlusion for the shadow rays (same
+    per-lane ORIGINS — shadow rays spawn where next rays do). The two
+    separate loops each pay the per-chunk machinery (slab tests,
+    needing-row reductions, cond dispatch, dynamic-trip fori, hoisted
+    tri slices); sharing it across the morton-balanced ranges saves
+    the overlap (PTDN_JOINT A/B in docs/PERF_NOTES.md).
+
+    Exactness: the closest-hit side performs the same ascending
+    (chunk, group, tri) visits with the same strict-< updates as
+    _mesh_best's compact loop — extra rows admitted by the combined
+    row range only add Möller tests whose hits the per-chunk slab
+    windows already prove non-winning (the compact==dense argument);
+    occlusion is an order-free boolean. Returns (bt, bi, lit)."""
+    ox, oy, oz = o
+    dnx, dny, dnz = d_n
+    dsx, dsy, dsz = d_s
+    inx_n, iny_n, inz_n = 1.0 / dnx, 1.0 / dny, 1.0 / dnz
+    inx_s, iny_s, inz_s = 1.0 / dsx, 1.0 / dsy, 1.0 / dsz
+    sub_i = jax.lax.broadcasted_iota(jnp.int32, (TGROUP, 1), 0).astype(
+        jnp.float32)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+
+    bt0 = jnp.where(ga_n >= 0.0, ta_n, FLT_MAX)
+    if alive is not None:
+        bt0 = jnp.where(alive > 0.5, bt0, -FLT_MAX)
+    bi0 = jnp.full(shape, FLT_MAX, jnp.float32)
+
+    nlo_p, nhi_p = next_range
+    slo_p, shi_p = shadow_range
+    c_lo = jnp.minimum(jnp.min(nlo_p), jnp.min(slo_p)).astype(jnp.int32)
+    c_hi = jnp.maximum(jnp.max(nhi_p), jnp.max(shi_p)).astype(jnp.int32)
+
+    def chunk_body(c, state):
+        bt, bi, lit = state
+        # next-ray slab + window cull (per lane)
+        t0x = (cmin_r[c, 0] - ox) * inx_n
+        t1x = (cmax_r[c, 0] - ox) * inx_n
+        t0y = (cmin_r[c, 1] - oy) * iny_n
+        t1y = (cmax_r[c, 1] - oy) * iny_n
+        t0z = (cmin_r[c, 2] - oz) * inz_n
+        t1z = (cmax_r[c, 2] - oz) * inz_n
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                       jnp.minimum(t0y, t1y)),
+                           jnp.minimum(t0z, t1z))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                       jnp.maximum(t0y, t1y)),
+                           jnp.maximum(t0z, t1z))
+        need_n = (tmax >= 0.0) & (tmin <= tmax) & (tmin < bt)
+        # shadow-ray slab (still-lit lanes only, within light distance)
+        s0x = (cmin_r[c, 0] - ox) * inx_s
+        s1x = (cmax_r[c, 0] - ox) * inx_s
+        s0y = (cmin_r[c, 1] - oy) * iny_s
+        s1y = (cmax_r[c, 1] - oy) * iny_s
+        s0z = (cmin_r[c, 2] - oz) * inz_s
+        s1z = (cmax_r[c, 2] - oz) * inz_s
+        smin = jnp.maximum(jnp.maximum(jnp.minimum(s0x, s1x),
+                                       jnp.minimum(s0y, s1y)),
+                           jnp.minimum(s0z, s1z))
+        smax = jnp.minimum(jnp.minimum(jnp.maximum(s0x, s1x),
+                                       jnp.maximum(s0y, s1y)),
+                           jnp.maximum(s0z, s1z))
+        need_s = ((lit > 0.5) & (smax >= 0.0) & (smin <= smax)
+                  & (smin < ta_s))
+        need = need_n | need_s
+        r_lo = jnp.min(jnp.where(need, row_iota, shape[0]))
+        r_hi = jnp.max(jnp.where(need, row_iota, -1))
+
+        def do(state):
+            bt, bi, lit = state
+            sls = ([tri_r[pl.ds(c * TCHUNK + g * TGROUP, TGROUP), :]
+                    for g in range(TCHUNK // TGROUP)] if TRI_HOIST
+                   else None)
+
+            def row_body(r, acc):
+                ct, ci, occ = acc
+                (rox, roy, roz, rdx, rdy, rdz, rsx, rsy, rsz,
+                 rta) = _extract_row(
+                    (ox, oy, oz, dnx, dny, dnz, dsx, dsy, dsz, ta_s),
+                    r, shape)
+                rt = jnp.full((1, 128), FLT_MAX)
+                ri = jnp.full((1, 128), FLT_MAX)
+                ro = jnp.zeros((1, 128), jnp.float32)
+                for g in range(TCHUNK // TGROUP):
+                    sl = (sls[g] if sls is not None else
+                          tri_r[pl.ds(c * TCHUNK + g * TGROUP,
+                                      TGROUP), :])
+                    base_f = (c * TCHUNK + g * TGROUP).astype(
+                        jnp.float32)
+                    # shared tri slice: closest-hit Möller (next rays)
+                    v0x, v0y, v0z = sl[:, 0:1], sl[:, 1:2], sl[:, 2:3]
+                    e1x, e1y, e1z = sl[:, 3:4], sl[:, 4:5], sl[:, 5:6]
+                    e2x, e2y, e2z = sl[:, 6:7], sl[:, 7:8], sl[:, 8:9]
+                    px = rdy * e2z - rdz * e2y
+                    py = rdz * e2x - rdx * e2z
+                    pz = rdx * e2y - rdy * e2x
+                    a = e1x * px + e1y * py + e1z * pz
+                    f = 1.0 / a
+                    sx, sy, sz = rox - v0x, roy - v0y, roz - v0z
+                    u = f * (sx * px + sy * py + sz * pz)
+                    qx = sy * e1z - sz * e1y
+                    qy = sz * e1x - sx * e1z
+                    qz = sx * e1y - sy * e1x
+                    v = f * (rdx * qx + rdy * qy + rdz * qz)
+                    t = f * (e2x * qx + e2y * qy + e2z * qz)
+                    ok = ((a >= FLT_EPSILON) & (u >= 0.0) & (u <= 1.0)
+                          & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0))
+                    tm = jnp.where(ok, t, FLT_MAX)
+                    gt = jnp.min(tm, axis=0, keepdims=True)
+                    gi = jnp.min(jnp.where(tm == gt, base_f + sub_i,
+                                           FLT_MAX),
+                                 axis=0, keepdims=True)
+                    upd = gt < rt
+                    rt = jnp.where(upd, gt, rt)
+                    ri = jnp.where(upd, gi, ri)
+                    # occlusion any-hit (shadow rays), same slice
+                    px = rsy * e2z - rsz * e2y
+                    py = rsz * e2x - rsx * e2z
+                    pz = rsx * e2y - rsy * e2x
+                    a = e1x * px + e1y * py + e1z * pz
+                    f = 1.0 / a
+                    u = f * (sx * px + sy * py + sz * pz)
+                    qx = sy * e1z - sz * e1y
+                    qy = sz * e1x - sx * e1z
+                    qz = sx * e1y - sy * e1x
+                    v = f * (rsx * qx + rsy * qy + rsz * qz)
+                    t = f * (e2x * qx + e2y * qy + e2z * qz)
+                    ok = ((a >= FLT_EPSILON) & (u >= 0.0) & (u <= 1.0)
+                          & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0)
+                          & (t < rta))
+                    ro = jnp.maximum(
+                        ro, jnp.max(jnp.where(ok, 1.0, 0.0), axis=0,
+                                    keepdims=True))
+                sel = row_iota == r
+                return (jnp.where(sel, jnp.broadcast_to(rt, shape), ct),
+                        jnp.where(sel, jnp.broadcast_to(ri, shape), ci),
+                        jnp.where(sel, jnp.broadcast_to(ro, shape), occ))
+
+            ct0 = jnp.full(shape, FLT_MAX, jnp.float32)
+            occ0 = jnp.zeros(shape, jnp.float32)
+            ct, ci, occ = jax.lax.fori_loop(r_lo, r_hi + 1, row_body,
+                                            (ct0, ct0, occ0))
+            upd = ct < bt
+            return (jnp.where(upd, ct, bt), jnp.where(upd, ci, bi),
+                    lit * (1.0 - occ))
+
+        return jax.lax.cond(r_hi >= r_lo, do, lambda s: s,
+                            (bt, bi, lit))
+
+    bt, bi, lit = jax.lax.fori_loop(c_lo, c_hi + 1, chunk_body,
+                                    (bt0, bi0, lit0))
+    return bt, bi, lit
+
+
 def _mesh_attr_refine(tri_attr_t_ref, bt, bi, o, d, shape, n_tris: int,
                       n_chunks: int, compat: bool):
     """Resolve the winning triangle's attributes IN-KERNEL and redo the
@@ -1100,11 +1258,14 @@ def _mesh_attr_refine(tri_attr_t_ref, bt, bi, o, d, shape, n_tris: int,
 
 def closest_hit_tiles(o, d, scene_refs, shape, *, geom_types, geom_mats,
                       n_tris: int, n_chunks: int, cull: bool, compat: bool,
-                      alive=None, chunk_range=None, static_mats=None):
+                      alive=None, chunk_range=None, static_mats=None,
+                      mesh_best_fn=None):
     """Fully-resolved closest hit on tiles: analytic + mesh + attributes
     + merge (the engine's intersect() contract). `scene_refs` is the
     (tf, inv, invt, gbbmin, gbbmax, tri, cmin, cmax, attr) ref tuple.
-    Returns (t, geom, nx, ny, nz, uu, vv, mat) tiles."""
+    Returns (t, geom, nx, ny, nz, uu, vv, mat) tiles.
+    `mesh_best_fn(ta, ga) -> (bt, bi)` overrides the mesh closest-hit
+    scan (the joint next+shadow loop hooks in here)."""
     (tf_r, inv_r, invt_r, gbbmin_r, gbbmax_r, tri_r, cmin_r, cmax_r,
      attr_r) = scene_refs
     ta, ga, anx, any_, anz = _analytic_part(
@@ -1119,9 +1280,12 @@ def closest_hit_tiles(o, d, scene_refs, shape, *, geom_types, geom_mats,
         uu = jnp.zeros(shape, jnp.float32)
         vv = jnp.zeros(shape, jnp.float32)
     else:
-        bt, bi = _mesh_best(tri_r, cmin_r, cmax_r, o, d, ta, ga, shape,
-                            n_tris, n_chunks, cull, alive=alive,
-                            chunk_range=chunk_range)
+        if mesh_best_fn is not None:
+            bt, bi = mesh_best_fn(ta, ga)
+        else:
+            bt, bi = _mesh_best(tri_r, cmin_r, cmax_r, o, d, ta, ga,
+                                shape, n_tris, n_chunks, cull,
+                                alive=alive, chunk_range=chunk_range)
         t_m, mh, mnx, mny, mnz, uvx, uvy, m_geom = _mesh_attr_refine(
             attr_r, bt, bi, o, d, shape, n_tris, n_chunks, compat)
         mesh_wins = mh & (~a_valid | (t_m < ta))
