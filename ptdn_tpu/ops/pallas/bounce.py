@@ -49,10 +49,14 @@ RROWS = 8
 # quadruple the chunk-union span on a 39-chunk scene), so the height
 # auto-selects by wavefront size; PTDN_TRACE_ROWS pins it for A/B.
 _TR_ENV = os.environ.get("PTDN_TRACE_ROWS")
-# PTDN_JOINT=1: one chunk scan serves the next-ray closest hit AND the
+# Joint chunk scan: ONE loop serves the next-ray closest hit AND the
 # shadow-ray occlusion (scene_intersect.joint_mesh_tiles), sharing the
-# per-chunk machinery across the two morton-balanced ranges
-_JOINT = os.environ.get("PTDN_JOINT", "0") == "1"
+# per-chunk machinery across the two morton-balanced ranges. Round-5
+# A/B (vs split loops): bunny 119.9 -> 111.9, room 89.4 -> 81.3,
+# terrain30k ~190 -> 180.1, diamond 54.3 -> 52.5, room-1080p-anim
+# 578.1 -> 547.7 — wins everywhere, DEFAULT ON (PTDN_JOINT=0 reverts
+# to the split loops for A/B).
+_JOINT = os.environ.get("PTDN_JOINT", "1") == "1"
 
 
 def trace_rows(nb: int) -> int:
