@@ -95,12 +95,22 @@ def _stdin_poll_factory():
 
 class Viewer:
     def __init__(self, renderer, out_path: str = "viewer.png",
-                 frames_per_command: int = 8):
+                 frames_per_command: int = 8, display: str = "auto",
+                 term_width: int = 100):
+        """display: 'png' (write out_path only), 'ansi' (live truecolor
+        half-block frames in the terminal, utils/termview.py — the
+        reference's per-frame window blit, preview.cpp:377-413, without
+        a GL surface), or 'auto' (ansi when stdout is a tty)."""
         self.r = renderer
         self.out_path = out_path
         self.frames_per_command = frames_per_command
         self.running = True
         self._mpl = None
+        if display == "auto":
+            display = "ansi" if sys.stdout.isatty() else "png"
+        self.display = display
+        self.term_width = term_width
+        self._ansi_first = True
 
     def _render(self, n=None):
         left = right = None
@@ -113,6 +123,15 @@ class Viewer:
 
         side = np.concatenate([left, right], axis=1)
         save_png(self.out_path, side)
+        if self.display == "ansi":
+            from ptdn_tpu.utils.termview import ansi_halfblocks
+
+            if self._ansi_first:
+                sys.stdout.write("\x1b[2J")     # clear once, then overdraw
+                self._ansi_first = False
+            sys.stdout.write(ansi_halfblocks(side, self.term_width,
+                                             home=True))
+            sys.stdout.flush()
         if self._mpl is None:
             try:
                 import matplotlib
@@ -274,6 +293,13 @@ def main(argv=None) -> int:
                          "input) instead of render-per-command")
     ap.add_argument("--frames", type=int, default=None,
                     help="with --watch: stop after N frames")
+    ap.add_argument("--display", choices=["auto", "ansi", "png"],
+                    default="auto",
+                    help="live frame sink: ANSI truecolor half-blocks "
+                         "in the terminal (auto when stdout is a tty) "
+                         "or PNG-only")
+    ap.add_argument("--term-width", type=int, default=100,
+                    help="ANSI display width in character cells")
     args = ap.parse_args(argv)
 
     from ptdn_tpu.engine import Renderer
@@ -284,7 +310,8 @@ def main(argv=None) -> int:
                        denoise_enable=args.denoise,
                        temporal_enable=args.denoise,
                        spatial_enable=args.denoise)
-    v = Viewer(Renderer(Scene(args.scene), cfg), out_path=args.out)
+    v = Viewer(Renderer(Scene(args.scene), cfg), out_path=args.out,
+               display=args.display, term_width=args.term_width)
     if args.watch:
         v.watch(max_frames=args.frames)
     else:

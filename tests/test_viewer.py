@@ -135,6 +135,50 @@ def test_stdin_poll_factory_cbreak_colon_commands(monkeypatch):
         _os.close(master)
 
 
+def test_ansi_halfblocks_renderer():
+    """utils/termview.py: truecolor half-block frames — the headless
+    stand-in for the reference's per-frame window blit
+    (preview.cpp:377-413)."""
+    from ptdn_tpu.utils.termview import _downsample, ansi_halfblocks
+
+    # box-average downsample is exact on aligned blocks
+    img = np.zeros((4, 4, 3), np.float32)
+    img[:2, :2] = 1.0
+    small = _downsample(img, 2, 2)
+    np.testing.assert_allclose(small[0, 0], [1, 1, 1], atol=1e-6)
+    np.testing.assert_allclose(small[0, 1], [0, 0, 0], atol=1e-6)
+
+    # a solid red frame: every cell fg AND bg = (255,0,0), one '▀' per
+    # (cell column x row pair), SGR only emitted on color changes
+    red = np.zeros((8, 8, 3), np.float32)
+    red[..., 0] = 1.0
+    s = ansi_halfblocks(red, max_width=8)
+    assert "\x1b[38;2;255;0;0m" in s and "\x1b[48;2;255;0;0m" in s
+    assert s.count("▀") == 8 * 4
+    assert not s.startswith("\x1b[H")
+    assert ansi_halfblocks(red, max_width=8, home=True).startswith("\x1b[H")
+    # run-length SGR: a solid frame needs exactly one fg+bg pair per line
+    assert s.count("\x1b[38;2;") == 4
+
+    # top/bottom split maps to fg vs bg of the same cell
+    split = np.zeros((2, 2, 3), np.float32)
+    split[0] = [1, 0, 0]
+    split[1] = [0, 0, 1]
+    s2 = ansi_halfblocks(split, max_width=2)
+    assert "\x1b[38;2;255;0;0m\x1b[48;2;0;0;255m" in s2
+
+
+def test_viewer_ansi_display_sink(viewer_factory, capsys):
+    """display='ansi' streams frames to stdout as half-block art while
+    still writing the PNG."""
+    v, r, out = viewer_factory()
+    v.display = "ansi"
+    v._show(*v._render(1))
+    cap = capsys.readouterr().out
+    assert "▀" in cap and "\x1b[38;2;" in cap
+    assert out.exists()
+
+
 def test_toggles_and_debug_view(viewer_factory):
     v, r, _ = viewer_factory()
     v.running = False
