@@ -123,6 +123,37 @@ def test_sharded_sorted_mesh_config_matches_single_device(cpu_mesh):
                                atol=1e-3, rtol=1e-4)
 
 
+def test_sharded_regroup_permute_matches_single_device(cpu_mesh):
+    """Fresh-group permute under shard_map: diamond (5 chunks) auto-
+    selects sort_regroup=4, so each shard runs the in-row Pallas lane
+    permute (ops/pallas/inrow.py) + grouped gather on its OWN lanes.
+    Sharded must match single-device (the permute is shard-local, pixel
+    ids ride a carried plane)."""
+    from ptdn_tpu.engine.wavefront import set_pallas_interpret
+
+    diamond = Scene(scene_path_str + "/diamond.txt")
+    cfg = RenderConfig(denoise_enable=False, trace_depth=2,
+                       backend="pallas")
+    ds, cam, vm, params = _inputs(diamond, cfg)
+
+    try:
+        cpu0 = jax.devices("cpu")[0]
+        with jax.default_device(cpu0):
+            step1 = jax.jit(make_frame_step(diamond, cfg, RES))
+            st1 = init_frame_state(RES)
+            st1, l1, r1 = step1(st1, ds, cam, vm, params, jnp.uint32(0),
+                                jnp.bool_(True))
+
+        stepN, stN, _ = make_sharded_step(diamond, cfg, RES, mesh=cpu_mesh)
+        stN, lN, rN = stepN(stN, ds, cam, vm, params, jnp.uint32(0),
+                            jnp.bool_(True))
+    finally:
+        set_pallas_interpret(None)
+
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(lN),
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_sharded_pallas_atrous5_halo_exceeds_shard(cpu_mesh, scene):
     """The PRODUCTION pallas à-trous pyramid under shard_map with
     explicit ppermute halo exchange (parallel/halo.py), at the full
