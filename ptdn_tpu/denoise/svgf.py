@@ -62,7 +62,12 @@ def make_denoise_fn(cfg, resolution, interpret=None, pyramid_override=None):
     fuse_l1 = (cfg.fuse_reproject_l1
                and cfg.backend == "pallas" and cfg.temporal_enable
                and cfg.spatial_enable and cfg.atrous_nlevel >= 2
-               and cfg.history_level == 1 and cfg.right_view_option == 0)
+               and cfg.history_level == 1 and cfg.right_view_option == 0
+               # 1080p-wide compiles of the fused kernel took down the
+               # remote TPU worker (round 5, w=1920); the knob is
+               # measured-neutral anyway — hard-gate it to the widths
+               # it was validated at
+               and w <= 1024)
 
     def denoise(state, raw_color, gbuffer, view_mat, params
                 ) -> Tuple[jnp.ndarray, Dict]:
