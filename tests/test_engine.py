@@ -562,6 +562,59 @@ def test_chunk_range_planes_supergroup_superset():
     assert not any_c[empty].any()
 
 
+def test_permute_planes_invariants():
+    """Unit-level invariants of the production permute
+    (engine.wavefront.permute_planes): (a) it realizes the STABLE sort
+    of the key exactly (the act_hi prefix ladder is an optimization,
+    not an approximation); (b) positions at/after the last active lane
+    map to themselves (the dead-tail identity the ladder relies on);
+    (c) fresh-group mode (regroup=G) equals in-row stable key sort
+    followed by the grouped stable sort, applied to every plane."""
+    import jax
+
+    from ptdn_tpu.engine import wavefront as WF
+
+    rng = np.random.default_rng(3)
+    nb, k_pl = 16, 5
+    n = nb * 128
+    SENT = np.int32(1 << 30)
+    key = rng.integers(0, 50, n).astype(np.int32)
+    # previous-bounce shape: actives in the prefix, dead tail at the
+    # end, plus newly-dead lanes sprinkled INSIDE the active prefix
+    n_act = int(n * 0.6)
+    key[n_act:] = SENT
+    newly = rng.choice(n_act, size=n // 10, replace=False)
+    key[newly] = SENT
+    planes = rng.standard_normal((k_pl, nb, 128)).astype(np.float32)
+
+    out = np.asarray(WF.permute_planes(
+        jnp.asarray(planes), jnp.asarray(key), n, nb))
+    order = np.argsort(key, kind="stable")
+    expect = planes.reshape(k_pl, n)[:, order].reshape(k_pl, nb, 128)
+    np.testing.assert_array_equal(out, expect)
+    # (b) the realized permutation is identity on the tail
+    last_active = np.max(np.nonzero(key != SENT)[0])
+    assert (order[last_active + 1:]
+            == np.arange(last_active + 1, n)).all()
+
+    # (c) regroup mode == in-row sort ∘ grouped stable sort
+    G = 4
+    out_rg = np.asarray(WF.permute_planes(
+        jnp.asarray(planes), jnp.asarray(key), n, nb, regroup=G,
+        interpret=True))
+    key2d = key.reshape(nb, 128)
+    o_in = np.argsort(key2d, axis=1, kind="stable")
+    key_in = np.take_along_axis(key2d, o_in, axis=1).reshape(n)
+    pl_in = np.stack([np.take_along_axis(planes[k_].reshape(nb, 128),
+                                         o_in, axis=1)
+                      for k_ in range(k_pl)])
+    gkey = key_in.reshape(n // G, G).min(axis=1)
+    go = np.argsort(gkey, kind="stable")
+    lane_o = (go[:, None] * G + np.arange(G)[None, :]).reshape(n)
+    expect_rg = pl_in.reshape(k_pl, n)[:, lane_o].reshape(k_pl, nb, 128)
+    np.testing.assert_array_equal(out_rg, expect_rg)
+
+
 def test_regroup_permute_matches():
     """Fresh-group permute (sort_regroup=4: in-row lane sort + G-lane
     grouped gather, ops/pallas/inrow.py) is a pure reordering — the
