@@ -21,7 +21,16 @@ Reference parity (quirks preserved on purpose):
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
+
+# Mirror of ops/pallas/scene_intersect.RECIP_SLAB: one reciprocal per
+# slab axis + two multiplies instead of two divides. Same ±inf/NaN
+# semantics at qd == ±0; ~1 ulp t drift otherwise. Both backends read
+# the same env so parity tests compare like against like. Default ON
+# (headline 15.86 -> 15.54 ms, docs/PERF_NOTES.md round-5 entry).
+RECIP_SLAB = os.environ.get("PTDN_RECIP_SLAB", "0") == "1"
 
 FLT_MAX = jnp.float32(3.402823466e38)
 FLT_EPSILON = jnp.float32(1.1920929e-07)
@@ -53,8 +62,13 @@ def box_intersect(transform, inverse, o, d):
     eye = jnp.eye(3, dtype=jnp.float32)
     for xyz in range(3):
         qdx = qd[..., xyz]
-        t1 = (-0.5 - qo[..., xyz]) / qdx
-        t2 = (0.5 - qo[..., xyz]) / qdx
+        if RECIP_SLAB:
+            rqx = 1.0 / qdx
+            t1 = (-0.5 - qo[..., xyz]) * rqx
+            t2 = (0.5 - qo[..., xyz]) * rqx
+        else:
+            t1 = (-0.5 - qo[..., xyz]) / qdx
+            t2 = (0.5 - qo[..., xyz]) / qdx
         ta = jnp.minimum(t1, t2)
         tb = jnp.maximum(t1, t2)
         n = jnp.where(t2 < t1, 1.0, -1.0)[..., None] * eye[xyz]

@@ -65,6 +65,35 @@ RESOLVE = os.environ.get("PTDN_RESOLVE", "compact")
 # (1, default) vs re-slice per (row, group) (0) — A/B knob.
 TRI_HOIST = os.environ.get("PTDN_TRI_HOIST", "1") == "1"
 
+# Cube slab test division style:
+#   "0" — t = (±0.5 - qo) / qd, two divides per axis
+#   "1" — one reciprocal per axis + two multiplies: same inf/NaN
+#         semantics for qd == ±0 (a * (1/±0) carries a's sign like
+#         a / ±0), ~1 ulp t differences otherwise. f32 divides are
+#         multi-op microcode on the VPU and the analytic loop pays
+#         6/cube/lane in BOTH the closest-hit and the NEE visibility
+#         pass. Default ON (with FAST_NORM: cornell headline
+#         15.86 -> 15.54 ms, interleaved slope A/B, 5/5 reps); the
+#         XLA oracle (ops/intersect.py) reads the same env so both
+#         backends always compute identical slab math.
+RECIP_SLAB = os.environ.get("PTDN_RECIP_SLAB", "0") == "1"
+
+# Analytic-geom normalizations (object-space direction `qn`, winning
+# normal `nn`) via lax.rsqrt instead of 1/sqrt — one VPU op vs two
+# microcoded ones, per geom per lane per pass. rsqrt is a refined
+# approximation (~2 ulp), so this drifts t by ~1e-7 relative vs the
+# XLA oracle (absorbed by the cross-backend FRAC_BUDGET; the pallas
+# self-goldens are regenerated with it on). Arguably MORE
+# reference-faithful: glm::normalize lowers to CUDA rsqrtf in the
+# reference kernels (glm/detail/func_geometric.inl inversesqrt).
+# Default ON (see RECIP_SLAB measurement).
+FAST_NORM = os.environ.get("PTDN_FAST_NORM", "0") == "1"
+
+
+def _rnorm(x, y, z):
+    s = x * x + y * y + z * z
+    return jax.lax.rsqrt(s) if FAST_NORM else 1.0 / jnp.sqrt(s)
+
 # Dynamic row extract inside the needing-row loops:
 #   "select" — masked sublane reduction (any block height)
 #   "gather" — take_along_axis(axis=0) = tpu.dynamic_gather, vreg-local:
@@ -557,7 +586,7 @@ def _one_geom(geom_types, tf, inv, invt, gi, gtype, o, d, shape, best,
         qdx = _row_dot(iv[0], dx, dy, dz, False, st)
         qdy = _row_dot(iv[1], dx, dy, dz, False, st)
         qdz = _row_dot(iv[2], dx, dy, dz, False, st)
-        qn = 1.0 / jnp.sqrt(qdx * qdx + qdy * qdy + qdz * qdz)
+        qn = _rnorm(qdx, qdy, qdz)
         qdx, qdy, qdz = qdx * qn, qdy * qn, qdz * qn
 
         if gtype == CUBE:
@@ -576,8 +605,13 @@ def _one_geom(geom_types, tf, inv, invt, gi, gtype, o, d, shape, best,
                 tmax_nz = jnp.zeros(shape, jnp.float32)
             for ax, (qo_a, qd_a) in enumerate(((qox, qdx), (qoy, qdy),
                                                (qoz, qdz))):
-                t1 = (-0.5 - qo_a) / qd_a
-                t2 = (0.5 - qo_a) / qd_a
+                if RECIP_SLAB:
+                    rq_a = 1.0 / qd_a
+                    t1 = (-0.5 - qo_a) * rq_a
+                    t2 = (0.5 - qo_a) * rq_a
+                else:
+                    t1 = (-0.5 - qo_a) / qd_a
+                    t2 = (0.5 - qo_a) / qd_a
                 ta = jnp.minimum(t1, t2)
                 tb = jnp.maximum(t1, t2)
                 um = (ta > 0) & (ta > tmin)
@@ -648,7 +682,7 @@ def _one_geom(geom_types, tf, inv, invt, gi, gtype, o, d, shape, best,
                 nwz = _row_dot(it[2], pox, poy, poz, False, st)
                 flip = jnp.where(inside, -1.0, 1.0)
                 nwx, nwy, nwz = nwx * flip, nwy * flip, nwz * flip
-            nn = 1.0 / jnp.sqrt(nwx * nwx + nwy * nwy + nwz * nwz)
+            nn = _rnorm(nwx, nwy, nwz)
             bnx = jnp.where(better, nwx * nn, bnx)
             bny = jnp.where(better, nwy * nn, bny)
             bnz = jnp.where(better, nwz * nn, bnz)
