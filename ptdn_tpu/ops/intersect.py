@@ -30,7 +30,7 @@ import jax.numpy as jnp
 # semantics at qd == ±0; ~1 ulp t drift otherwise. Both backends read
 # the same env so parity tests compare like against like. Default ON
 # (headline 15.86 -> 15.54 ms, docs/PERF_NOTES.md round-5 entry).
-RECIP_SLAB = os.environ.get("PTDN_RECIP_SLAB", "0") == "1"
+RECIP_SLAB = os.environ.get("PTDN_RECIP_SLAB", "1") == "1"
 
 FLT_MAX = jnp.float32(3.402823466e38)
 FLT_EPSILON = jnp.float32(1.1920929e-07)

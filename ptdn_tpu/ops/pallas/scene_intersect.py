@@ -76,7 +76,7 @@ TRI_HOIST = os.environ.get("PTDN_TRI_HOIST", "1") == "1"
 #         15.86 -> 15.54 ms, interleaved slope A/B, 5/5 reps); the
 #         XLA oracle (ops/intersect.py) reads the same env so both
 #         backends always compute identical slab math.
-RECIP_SLAB = os.environ.get("PTDN_RECIP_SLAB", "0") == "1"
+RECIP_SLAB = os.environ.get("PTDN_RECIP_SLAB", "1") == "1"
 
 # Analytic-geom normalizations (object-space direction `qn`, winning
 # normal `nn`) via lax.rsqrt instead of 1/sqrt — one VPU op vs two
@@ -87,7 +87,7 @@ RECIP_SLAB = os.environ.get("PTDN_RECIP_SLAB", "0") == "1"
 # reference-faithful: glm::normalize lowers to CUDA rsqrtf in the
 # reference kernels (glm/detail/func_geometric.inl inversesqrt).
 # Default ON (see RECIP_SLAB measurement).
-FAST_NORM = os.environ.get("PTDN_FAST_NORM", "0") == "1"
+FAST_NORM = os.environ.get("PTDN_FAST_NORM", "1") == "1"
 
 
 def _rnorm(x, y, z):
